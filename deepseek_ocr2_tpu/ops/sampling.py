@@ -1,0 +1,70 @@
+"""On-device greedy sampling with no-repeat-ngram constraint.
+
+The reference builds the n-gram ban table on the host every step and round-
+trips logits to the CPU when the argmax is banned (main.rs:96-120,
+1562-1598). Here the ban mask is built on-device over the static token
+buffer, so the decode loop never ships logits to the host.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def ngram_ban_mask(
+    tokens: jnp.ndarray,  # [T] i32 token buffer (prompt + generated, padded)
+    cur_len: jnp.ndarray,  # scalar i32: number of valid tokens
+    ngram_size: int,  # static
+    vocab_size: int,  # static
+) -> jnp.ndarray:
+    """Bool [vocab] mask, True = banned next token.
+
+    Semantics match reference main.rs:96-120: for every window
+    tokens[i : i+n-1] equal to the current suffix tokens[cur_len-n+1 : cur_len],
+    the continuation tokens[i+n-1] is banned. Windows run over the whole
+    sequence including the prompt.
+    """
+    if ngram_size == 0:
+        return jnp.zeros((vocab_size,), dtype=bool)
+    t = tokens.shape[0]
+    prefix_len = ngram_size - 1
+    if t < ngram_size:
+        return jnp.zeros((vocab_size,), dtype=bool)
+
+    tokens = tokens.astype(jnp.int32)
+    # Current prefix: tokens[cur_len - prefix_len : cur_len].
+    start = jnp.maximum(cur_len - prefix_len, 0)
+    prefix = jnp.take(
+        tokens, start + jnp.arange(prefix_len), axis=0, mode="clip"
+    )  # [prefix_len]
+
+    # All windows tokens[i : i + prefix_len] for i in [0, T - prefix_len].
+    n_win = t - prefix_len  # windows whose continuation index i+prefix_len < T
+    win_idx = jnp.arange(n_win)[:, None] + jnp.arange(prefix_len)[None, :]
+    windows = tokens[win_idx]  # [n_win, prefix_len]
+    matches = jnp.all(windows == prefix[None, :], axis=1)  # [n_win]
+
+    # Window must lie fully within the valid ids: i + ngram <= cur_len
+    # (reference iterates i in 0..=len-n over the realized id list).
+    i_arange = jnp.arange(n_win)
+    valid = (i_arange + ngram_size) <= cur_len
+    # Only ban when we actually have a full prefix (cur_len >= prefix_len).
+    valid = valid & (cur_len >= prefix_len) & matches
+
+    next_tokens = tokens[prefix_len:]  # [n_win] continuation of each window
+    mask = jnp.zeros((vocab_size,), dtype=bool)
+    return mask.at[next_tokens].max(valid)
+
+
+def greedy_pick(logits: jnp.ndarray, ban_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Greedy argmax with optional ban mask; NaNs never win.
+
+    Matches the reference scan semantics (main.rs:20-40): first maximal index
+    wins; NaN logits are skipped.
+    """
+    l32 = logits.astype(jnp.float32)
+    neg = jnp.float32(-jnp.inf)
+    l32 = jnp.where(jnp.isnan(l32), neg, l32)
+    if ban_mask is not None:
+        l32 = jnp.where(ban_mask, neg, l32)
+    return jnp.argmax(l32, axis=-1).astype(jnp.int32)
