@@ -1,0 +1,138 @@
+"""DeepSeek-OCR-2 composite model (vision + language) — functional JAX.
+
+Capability-parity with /root/reference/src/model/deepseek_ocr2.rs:
+- towers: SAM ViT-B -> Qwen2 compressor -> Linear projector 896->1280, plus a
+  learnable `view_seperator` vector (deepseek_ocr2.rs:47-99);
+- multimodal injection: `<image>` placeholder block replaced with vision
+  tokens in HF order local(crops) -> global -> view_seperator — note this
+  deliberately differs from the tokenizer's expansion order
+  (deepseek_ocr2.rs:222-225);
+- the LM trunk is flattened at the top level, matching HF key paths
+  (`model.sam_model.*`, `model.layers.*`), deepseek_ocr2.rs:62-74.
+
+Unlike the reference (batch=1 only, deepseek_ocr2.rs:140), the vision path is
+batched: crops run as one SAM batch, and the serving engine batches pages.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import OCR2Config
+from ..io.safetensors_io import LoadReport
+from . import deepseek_v2 as dsv2
+from . import qwen2 as qwen2_mod
+from . import sam as sam_mod
+
+Params = Dict[str, Any]
+
+
+def init_params(cfg: OCR2Config, key: jax.Array, lm_dtype=jnp.bfloat16, vision_dtype=jnp.bfloat16) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h = cfg.lm.hidden_size
+    return {
+        "lm": dsv2.init_params(cfg.lm, k1, dtype=lm_dtype),
+        "sam": sam_mod.init_params(cfg.sam, k2, dtype=vision_dtype),
+        "qwen2": qwen2_mod.init_params(cfg.qwen2, k3, dtype=vision_dtype),
+        "projector": {
+            "w": jax.random.normal(k4, (cfg.projector_in, h), vision_dtype) * 0.02,
+            "b": jnp.zeros((h,), vision_dtype),
+        },
+        "view_seperator": jnp.zeros((h,), vision_dtype),
+    }
+
+
+def params_from_flat(
+    flat: Dict[str, np.ndarray], cfg: OCR2Config
+) -> Tuple[Params, LoadReport]:
+    report = LoadReport()
+    lm_params, r = dsv2.params_from_flat(flat, cfg.lm, prefix="model.")
+    report.merge(r)
+    sam_params, r = sam_mod.params_from_flat(flat, cfg.sam, prefix="model.sam_model.")
+    report.merge(r)
+    q_params, r = qwen2_mod.params_from_flat(flat, cfg.qwen2, prefix="model.qwen2_model.")
+    report.merge(r)
+
+    def take(name, transpose=False):
+        arr = flat.get(name)
+        if arr is None:
+            report.missing.append(name)
+            return None
+        report.applied.append(name)
+        return np.ascontiguousarray(arr.T) if transpose else arr
+
+    params = {
+        "lm": lm_params,
+        "sam": sam_params,
+        "qwen2": q_params,
+        "projector": {
+            "w": take("model.projector.layers.weight", transpose=True),
+            "b": take("model.projector.layers.bias"),
+        },
+        "view_seperator": take("model.view_seperator"),
+    }
+    return params, report
+
+
+def encode_views(
+    params: Params,
+    cfg: OCR2Config,
+    image_base: jnp.ndarray,  # [1, 3, S, S] normalized to [-1, 1]
+    patches: Optional[jnp.ndarray],  # [P, 3, c, c] or None
+) -> jnp.ndarray:
+    """Vision towers -> injected token rows [n_img, lm_hidden].
+
+    Order: local(crops) -> global -> view_seperator
+    (reference deepseek_ocr2.rs:222-234).
+    """
+    h = cfg.lm.hidden_size
+    proj_w = params["projector"]["w"]
+    proj_b = params["projector"]["b"]
+
+    def tower(imgs):
+        feats = sam_mod.sam_forward(params["sam"], cfg.sam, imgs)  # [B, C, h, w]
+        feats = qwen2_mod.qwen2_encode(params["qwen2"], cfg.qwen2, feats)  # [B, nq, C]
+        out = feats @ proj_w.astype(feats.dtype) + proj_b.astype(feats.dtype)
+        return out  # [B, nq, lm_hidden]
+
+    global_tokens = tower(image_base).reshape(-1, h)  # [nq_base, H]
+    sep = params["view_seperator"].reshape(1, h)
+    if patches is not None:
+        local_tokens = tower(patches).reshape(-1, h)  # [P*nq_crop, H]
+        return jnp.concatenate(
+            [local_tokens, global_tokens, sep.astype(global_tokens.dtype)], axis=0
+        )
+    return jnp.concatenate([global_tokens, sep.astype(global_tokens.dtype)], axis=0)
+
+
+def build_inputs_embeds(
+    params: Params,
+    cfg: OCR2Config,
+    input_ids: jnp.ndarray,  # [1, S] i32
+    vision_tokens: jnp.ndarray,  # [n_img, H]
+    image_start: int,  # static: first placeholder index (contiguous block)
+) -> jnp.ndarray:
+    """Token embeddings with the placeholder block replaced by vision tokens.
+
+    The tokenizer always expands `<image>` into one contiguous block, so this
+    is the reference's slice_assign fast path (deepseek_ocr2.rs:261-271).
+    """
+    base = jnp.take(params["lm"]["embed"], input_ids, axis=0)  # [1, S, H]
+    vis = vision_tokens.astype(base.dtype)[None]  # [1, n_img, H]
+    return jax.lax.dynamic_update_slice(base, vis, (0, image_start, 0))
+
+
+def ocr_prefill_embeds(
+    params: Params,
+    cfg: OCR2Config,
+    input_ids: jnp.ndarray,
+    image_base: jnp.ndarray,
+    patches: Optional[jnp.ndarray],
+    image_start: int,
+) -> jnp.ndarray:
+    vision = encode_views(params, cfg, image_base, patches)
+    return build_inputs_embeds(params, cfg, input_ids, vision, image_start)
