@@ -1,0 +1,330 @@
+"""CLI — mirrors the reference command surface (main.rs:122-261).
+
+Subcommands: inspect | generate-text | generate-ocr | debug-rope | serve.
+
+Backend flag maps the reference's vulkan|ndarray split to tpu|cpu. Dtype
+flags accept f32|f16|bf16; f16 is mapped to bf16 on TPU (no hardware f16)
+with a notice, keeping the reference flag surface intact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _dtype_arg(value: str) -> str:
+    v = value.lower()
+    table = {"f32": "float32", "f16": "bfloat16", "bf16": "bfloat16"}
+    if v not in table:
+        raise argparse.ArgumentTypeError(f"invalid dtype {value!r} (f32|f16|bf16)")
+    if v == "f16":
+        print("note: f16 maps to bf16 on TPU (native 16-bit type)", file=sys.stderr)
+    return table[v]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="deepseek-ocr2-tpu",
+        description="TPU-native DeepSeek-OCR-2 inference",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("inspect", help="List tensors in a .safetensors file")
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--take", type=int, default=50, help="entries to print (0 = all)")
+
+    def common_gen(sp, ocr: bool):
+        sp.add_argument("--backend", choices=["tpu", "cpu"], default="tpu")
+        sp.add_argument("--weights", required=True)
+        sp.add_argument("--tokenizer", required=True)
+        sp.add_argument(
+            "--config", default=None, help="JSON file overriding model config fields"
+        )
+        sp.add_argument("--max-new-tokens", type=int, default=512 if ocr else 128)
+        sp.add_argument("--eos-token-id", type=int, default=1)
+        sp.add_argument("--kv-cache", type=_dtype_arg, default="float32")
+        sp.add_argument("--trim-memory", action="store_true")
+
+    sp = sub.add_parser("generate-text", help="Text-only generation (LM backbone)")
+    common_gen(sp, ocr=False)
+    sp.add_argument("--prompt", required=True)
+    sp.add_argument("--num-hidden-layers", type=int, default=12)
+    sp.add_argument("--cast-f16", action="store_true", help="run weights in bf16")
+
+    sp = sub.add_parser("generate-ocr", help="End-to-end OCR (image + language)")
+    common_gen(sp, ocr=True)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--prompt", default=None, help="override the OCR prompt")
+    sp.add_argument("--image-token-id", type=int, default=128815)
+    sp.add_argument("--image-size", type=int, default=1024)
+    sp.add_argument("--no-crop", action="store_true")
+    sp.add_argument("--rotate", choices=["0", "90", "180", "270"], default="0")
+    sp.add_argument("--auto-rotate", action="store_true")
+    sp.add_argument("--crop-image-size", type=int, default=768)
+    sp.add_argument("--no-repeat-ngram-size", type=int, default=20)
+    sp.add_argument("--vision-dtype", type=_dtype_arg, default="float32")
+    sp.add_argument("--sam-dtype", type=_dtype_arg, default=None)
+    sp.add_argument("--qwen2-dtype", type=_dtype_arg, default=None)
+    sp.add_argument("--projector-dtype", type=_dtype_arg, default=None)
+    sp.add_argument("--view-seperator-dtype", type=_dtype_arg, default=None)
+    sp.add_argument("--lm-dtype", type=_dtype_arg, default="bfloat16")
+
+    sp = sub.add_parser("debug-rope", help="RoPE numeric sanity check on this backend")
+    sp.add_argument("--max-seq-len", type=int, default=16)
+    sp.add_argument("--head-dim", type=int, default=128)
+    sp.add_argument("--seq-len", type=int, default=4)
+
+    sp = sub.add_parser("serve", help="Batched multi-page OCR over a directory of images")
+    common_gen(sp, ocr=True)
+    sp.add_argument("--images", required=True, nargs="+", help="image files")
+    sp.add_argument("--batch-size", type=int, default=8)
+    sp.add_argument("--no-crop", action="store_true")
+    sp.add_argument("--no-repeat-ngram-size", type=int, default=20)
+    sp.add_argument("--vision-dtype", type=_dtype_arg, default="bfloat16")
+    sp.add_argument("--lm-dtype", type=_dtype_arg, default="bfloat16")
+    return p
+
+
+def _select_backend(backend: str) -> None:
+    if backend == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+def cmd_inspect(args) -> int:
+    from .io import inspect_safetensors
+
+    rows = inspect_safetensors(args.weights)
+    take = args.take if args.take > 0 else len(rows)
+    for name, shape, dtype in rows[:take]:
+        print(f"{name}\t{list(shape)}\t{dtype}")
+    if take < len(rows):
+        print(f"... ({len(rows) - take} more)")
+    return 0
+
+
+def _trim_memory(weights_path: str) -> None:
+    """Best-effort host memory hygiene (reference main.rs:483-570)."""
+    import ctypes
+    import ctypes.util
+
+    def rss_kb():
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return 0
+
+    before = rss_kb()
+    try:
+        fd = os.open(weights_path, os.O_RDONLY)
+        try:
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        finally:
+            os.close(fd)
+    except OSError as e:
+        print(f"trim-memory: posix_fadvise failed: {e}", file=sys.stderr)
+    ret = None
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c"))
+        ret = libc.malloc_trim(0)
+    except (OSError, AttributeError):
+        pass
+    after = rss_kb()
+    print(
+        f"trim-memory: rss_kb {before}->{after} (d={after - before}), malloc_trim={ret}",
+        file=sys.stderr,
+    )
+
+
+def _load_ocr_pipeline(args):
+    import dataclasses
+
+    import jax.numpy as jnp
+    import jax
+
+    from .configs import OCR2Config, config_from_json
+    from .io import DtypePolicy, load_flat
+    from .models import deepseek_ocr2 as ocr2
+    from .runtime.pipeline import OCR2Pipeline
+    from .utils.tokenizer import load_tokenizer
+
+    base_cfg = config_from_json(args.config) if args.config else OCR2Config()
+    cfg = dataclasses.replace(
+        base_cfg,
+        image_token_id=getattr(args, "image_token_id", base_cfg.image_token_id),
+        eos_token_id=args.eos_token_id,
+    )
+    if getattr(args, "image_size", None) and args.image_size != 1024:
+        cfg = dataclasses.replace(cfg, base_image_size=args.image_size)
+    if getattr(args, "crop_image_size", None) and args.crop_image_size != 768:
+        cfg = dataclasses.replace(cfg, crop_image_size=args.crop_image_size)
+
+    vision_default = args.vision_dtype
+    policy = DtypePolicy(default=args.lm_dtype)
+    for prefix, dtype in (
+        ("model.sam_model", getattr(args, "sam_dtype", None) or vision_default),
+        ("model.qwen2_model", getattr(args, "qwen2_dtype", None) or vision_default),
+        ("model.projector", getattr(args, "projector_dtype", None) or vision_default),
+        ("model.view_seperator", getattr(args, "view_seperator_dtype", None) or vision_default),
+    ):
+        policy = policy.with_prefix(prefix, dtype)
+
+    flat = load_flat(args.weights, policy)
+    params, report = ocr2.params_from_flat(flat, cfg)
+    print(report.summary(), file=sys.stderr)
+    report.raise_on_errors()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    del flat
+    if args.trim_memory:
+        _trim_memory(args.weights)
+
+    tokenizer = load_tokenizer(args.tokenizer)
+    act = "float32" if vision_default == "float32" else "bfloat16"
+    return OCR2Pipeline(params, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act), cfg
+
+
+def cmd_generate_text(args) -> int:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from .configs import DeepseekV2Config, OCR2Config
+    from .io import DtypePolicy, load_flat
+    from .models import deepseek_v2 as dsv2
+    from .runtime.pipeline import OCR2Pipeline
+    from .utils.tokenizer import load_tokenizer
+
+    if args.config:
+        from .configs import config_from_json
+
+        lm_cfg = config_from_json(args.config).lm
+        if args.num_hidden_layers != 12:
+            lm_cfg = dataclasses.replace(lm_cfg, num_hidden_layers=args.num_hidden_layers)
+    else:
+        lm_cfg = DeepseekV2Config(num_hidden_layers=args.num_hidden_layers)
+    # Weights are BF16 on HF; keep stored dtype unless --cast-f16 forces 16-bit.
+    policy = DtypePolicy(default="bfloat16" if args.cast_f16 else None)
+    # Text path: load only the LM trunk (reference main.rs:824-827).
+    flat = load_flat(
+        args.weights,
+        policy,
+        include_regex=[
+            r"^model\.embed_tokens\.",
+            r"^model\.layers\.",
+            r"^model\.norm\.",
+            r"^lm_head\.",
+        ],
+    )
+    params, report = dsv2.params_from_flat(flat, lm_cfg)
+    print(report.summary(), file=sys.stderr)
+    report.raise_on_errors()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    del flat
+    if args.trim_memory:
+        _trim_memory(args.weights)
+
+    tokenizer = load_tokenizer(args.tokenizer)
+    cfg = OCR2Config(lm=lm_cfg, eos_token_id=args.eos_token_id)
+    act_dtype = str(params["embed"].dtype)
+    pipe = OCR2Pipeline(
+        {"lm": params}, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act_dtype
+    )
+    result = pipe.generate_text(
+        args.prompt, max_new_tokens=args.max_new_tokens, eos_token_id=args.eos_token_id
+    )
+    print(result.text)
+    print(
+        f"[{result.new_tokens} tokens, {result.decode_tokens_per_sec:.1f} tok/s]",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_generate_ocr(args) -> int:
+    pipe, cfg = _load_ocr_pipeline(args)
+    result = pipe.generate_ocr(
+        args.image,
+        prompt=args.prompt,
+        max_new_tokens=args.max_new_tokens,
+        no_crop=args.no_crop,
+        rotate=int(args.rotate),
+        auto_rotate=args.auto_rotate,
+        ngram_size=args.no_repeat_ngram_size,
+        eos_token_id=args.eos_token_id,
+    )
+    print(result.text)
+    print(
+        f"[prefill {result.prefill_seconds * 1e3:.0f} ms, "
+        f"{result.new_tokens} tokens, {result.decode_tokens_per_sec:.1f} tok/s]",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .runtime.engine import OCR2Engine
+
+    pipe, cfg = _load_ocr_pipeline(args)
+    engine = OCR2Engine(pipe, batch_size=args.batch_size)
+    t0 = time.perf_counter()
+    results = engine.run(
+        args.images,
+        max_new_tokens=args.max_new_tokens,
+        no_crop=args.no_crop,
+        ngram_size=args.no_repeat_ngram_size,
+    )
+    dt = time.perf_counter() - t0
+    for path, res in zip(args.images, results):
+        print(f"=== {path} ===")
+        print(res.text)
+    print(f"[{len(args.images)} pages in {dt:.2f}s = {len(args.images) / dt:.2f} pages/s]", file=sys.stderr)
+    return 0
+
+
+def cmd_debug_rope(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops.rope import apply_rope, rope_cache
+
+    cos, sin = rope_cache(args.max_seq_len, args.head_dim, 10000.0)
+    print(f"cos[0,:4]={cos[0, :4]} sin[1,:4]={sin[1, :4]}")
+    for name, dtype in (("zeros", jnp.float32), ("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        shape = (1, 1, args.seq_len, args.head_dim)
+        if name == "zeros":
+            x = jnp.zeros(shape, dtype)
+        else:
+            x = jnp.arange(np.prod(shape), dtype=jnp.float32).reshape(shape).astype(dtype) / 100.0
+        q, k = apply_rope(x, x, jnp.asarray(cos), jnp.asarray(sin), 0)
+        nan_q = int(jnp.isnan(q).sum())
+        nan_k = int(jnp.isnan(k).sum())
+        print(f"{name}: nan_q={nan_q} nan_k={nan_k} q[0,0,0,:3]={np.asarray(q)[0, 0, 0, :3]}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if hasattr(args, "backend"):
+        _select_backend(args.backend)
+    if args.command == "inspect":
+        return cmd_inspect(args)
+    if args.command == "generate-text":
+        return cmd_generate_text(args)
+    if args.command == "generate-ocr":
+        return cmd_generate_ocr(args)
+    if args.command == "serve":
+        return cmd_serve(args)
+    if args.command == "debug-rope":
+        return cmd_debug_rope(args)
+    raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

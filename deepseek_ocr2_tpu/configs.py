@@ -145,6 +145,24 @@ class OCR2Config:
         return n
 
 
+def config_from_json(path: str) -> OCR2Config:
+    """Build an OCR2Config from a JSON file of (nested) field overrides.
+
+    Example: {"lm": {"num_hidden_layers": 3}, "base_image_size": 256}.
+    Fields not present keep the reference defaults.
+    """
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    lm = DeepseekV2Config(**data.pop("lm", {}))
+    qwen2 = Qwen2Config(**data.pop("qwen2", {}))
+    sam = SamConfig(
+        **{k: tuple(v) if k == "global_attn_indexes" else v for k, v in data.pop("sam", {}).items()}
+    )
+    return OCR2Config(lm=lm, qwen2=qwen2, sam=sam, **data)
+
+
 def tiny_lm_config(**overrides) -> DeepseekV2Config:
     """Small DeepSeek-V2 config for tests (same structure, tiny dims)."""
     base = dict(

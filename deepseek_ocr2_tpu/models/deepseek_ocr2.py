@@ -136,3 +136,50 @@ def ocr_prefill_embeds(
 ) -> jnp.ndarray:
     vision = encode_views(params, cfg, image_base, patches)
     return build_inputs_embeds(params, cfg, input_ids, vision, image_start)
+
+
+def encode_views_batched(
+    params: Params,
+    cfg: OCR2Config,
+    image_base: jnp.ndarray,  # [B, 3, S, S]
+    patches: Optional[jnp.ndarray],  # [B, P, 3, c, c] or None (same P per page)
+) -> jnp.ndarray:
+    """Batched vision encode for multi-page serving. Returns [B, n_img, H].
+
+    Pages in a batch share the crop grid (the engine groups by crop ratio),
+    so crops flatten into one SAM batch of B*P tiles.
+    """
+    h = cfg.lm.hidden_size
+    proj_w = params["projector"]["w"]
+    proj_b = params["projector"]["b"]
+
+    def tower(imgs):
+        feats = sam_mod.sam_forward(params["sam"], cfg.sam, imgs)
+        feats = qwen2_mod.qwen2_encode(params["qwen2"], cfg.qwen2, feats)
+        return feats @ proj_w.astype(feats.dtype) + proj_b.astype(feats.dtype)
+
+    b = image_base.shape[0]
+    g = tower(image_base)  # [B, nq_base, H]
+    sep = jnp.broadcast_to(
+        params["view_seperator"].astype(g.dtype).reshape(1, 1, h), (b, 1, h)
+    )
+    if patches is not None:
+        p = patches.shape[1]
+        loc = tower(patches.reshape((b * p,) + patches.shape[2:]))  # [B*P, nq_c, H]
+        loc = loc.reshape(b, p * loc.shape[1], h)
+        return jnp.concatenate([loc, g, sep], axis=1)
+    return jnp.concatenate([g, sep], axis=1)
+
+
+def ocr_prefill_embeds_batched(
+    params: Params,
+    cfg: OCR2Config,
+    input_ids: jnp.ndarray,  # [B, S]
+    image_base: jnp.ndarray,  # [B, 3, S, S]
+    patches: Optional[jnp.ndarray],  # [B, P, 3, c, c] or None
+    image_start: int,
+) -> jnp.ndarray:
+    vision = encode_views_batched(params, cfg, image_base, patches)
+    base = jnp.take(params["lm"]["embed"], input_ids, axis=0)  # [B, S, H]
+    vis = vision.astype(base.dtype)
+    return jax.lax.dynamic_update_slice(base, vis, (0, image_start, 0))

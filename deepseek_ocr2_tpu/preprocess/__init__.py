@@ -1,0 +1,9 @@
+from .image import (  # noqa: F401
+    auto_rotate_choice,
+    dynamic_preprocess,
+    find_closest_aspect_ratio,
+    images_to_nchw,
+    pad_to_square,
+    rotate_image,
+    should_crop,
+)

@@ -5,6 +5,11 @@ main.rs:1569-1577, CPU ngram rescan :1580-1598, MoE gate readbacks). Here the
 entire prefill + decode loop is one jitted `lax.while_loop`: on-device argmax,
 on-device n-gram ban mask, on-device EOS check. The host only receives the
 final token buffer.
+
+Batched decode (B > 1) extends the reference's single-sequence loop: all
+sequences share a prompt length (true for the fixed OCR prompt), finished
+sequences freeze their buffers, and the loop exits when every sequence hit
+EOS or the token budget.
 """
 
 from __future__ import annotations
@@ -35,8 +40,8 @@ from .kv_cache import make_kv_cache
 def greedy_generate(
     params,
     cfg: DeepseekV2Config,
-    inputs_embeds: jnp.ndarray,  # [1, S, H] prompt embeddings (text or multimodal)
-    prompt_ids: jnp.ndarray,  # [S] i32 prompt token ids (placeholders included)
+    inputs_embeds: jnp.ndarray,  # [B, S, H] prompt embeddings (text or multimodal)
+    prompt_ids: jnp.ndarray,  # [B, S] or [S] i32 prompt ids (placeholders included)
     *,
     max_new_tokens: int,
     ngram_size: int = 0,
@@ -44,14 +49,16 @@ def greedy_generate(
     capacity: int = 2048,
     kv_dtype: str = "bfloat16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy decode. Returns (tokens [S+max_new] i32, total_len i32).
+    """Greedy decode. Returns (tokens [B, S+max_new] i32, n_generated [B] i32).
 
-    `tokens[:total_len]` = prompt + generated ids (EOS included when hit,
-    matching the reference which pushes EOS before breaking, main.rs:1600-1609).
+    `tokens[b, :S+n_generated[b]]` = prompt + generated ids (EOS included when
+    hit, matching the reference which pushes EOS before breaking,
+    main.rs:1600-1609).
     """
     b, s, h = inputs_embeds.shape
-    assert b == 1, "greedy_generate is the single-sequence path (engine batches)"
     assert s + max_new_tokens <= capacity, "capacity too small"
+    if prompt_ids.ndim == 1:
+        prompt_ids = prompt_ids[None]
     vocab = params["lm_head"].shape[-1]
     t_buf = s + max_new_tokens
 
@@ -65,48 +72,45 @@ def greedy_generate(
     )
 
     hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)
-    logits = logits_last(params, hidden)  # [1, V]
+    logits = logits_last(params, hidden)  # [B, V]
 
-    tokens = jnp.zeros((t_buf,), jnp.int32)
-    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0,))
+    tokens = jnp.zeros((b, t_buf), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    ban_fn = jax.vmap(ngram_ban_mask, in_axes=(0, None, None, None))
+
+    def pick(logits, tokens, cur_len):
+        ban = ban_fn(tokens, cur_len, ngram_size, vocab)  # [B, V]
+        return jax.vmap(greedy_pick)(logits, ban)  # [B]
+
     cur_len = jnp.int32(s)
-
-    ban = ngram_ban_mask(tokens, cur_len, ngram_size, vocab)
-    tok = greedy_pick(logits[0], ban)
-    tokens = tokens.at[cur_len].set(tok)
+    tok = pick(logits, tokens, cur_len)  # [B]
+    done = tok == eos_id
+    tokens = tokens.at[:, s].set(tok)
     cur_len = cur_len + 1
+    n_gen = jnp.ones((b,), jnp.int32)
 
     def cond(state):
-        cache, tokens, cur_len, tok, steps = state
-        return (tok != eos_id) & (steps < max_new_tokens)
+        cache, tokens, cur_len, tok, done, n_gen, steps = state
+        return jnp.logical_and(steps < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        cache, tokens, cur_len, tok, steps = state
+        cache, tokens, cur_len, tok, done, n_gen, steps = state
         emb = jnp.take(params["embed"], tok, axis=0).astype(inputs_embeds.dtype)
-        emb = emb.reshape(1, 1, h)
+        emb = emb.reshape(b, 1, h)
         hidden, cache = lm_forward(
             params, cfg, emb, cache, pos=cur_len - 1, is_prefill=False
         )
         logits = logits_last(params, hidden)
-        ban = ngram_ban_mask(tokens, cur_len, ngram_size, vocab)
-        nxt = greedy_pick(logits[0], ban)
-        tokens = tokens.at[cur_len].set(nxt)
-        return (cache, tokens, cur_len + 1, nxt, steps + 1)
+        nxt = pick(logits, tokens, cur_len)
+        nxt = jnp.where(done, tok, nxt)  # freeze finished rows
+        row = jnp.arange(b)
+        old = tokens[row, cur_len]
+        tokens = tokens.at[row, cur_len].set(jnp.where(done, old, nxt))
+        n_gen = jnp.where(done, n_gen, n_gen + 1)
+        done = done | (nxt == eos_id)
+        return (cache, tokens, cur_len + 1, nxt, done, n_gen, steps + 1)
 
-    state = (cache, tokens, cur_len, tok, jnp.int32(1))
-    _, tokens, cur_len, _, _ = jax.lax.while_loop(cond, body, state)
-    return tokens, cur_len
-
-
-def prefill_logits(params, cfg, inputs_embeds, capacity: int, kv_dtype="bfloat16"):
-    """Prefill only: returns (last-token logits [1,V], cache). Un-jitted helper."""
-    cache = make_kv_cache(
-        cfg.num_hidden_layers,
-        inputs_embeds.shape[0],
-        cfg.num_attention_heads,
-        capacity,
-        cfg.head_dim,
-        dtype=jnp.dtype(kv_dtype),
-    )
-    hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)
-    return logits_last(params, hidden), cache
+    state = (cache, tokens, cur_len, tok, done, n_gen, jnp.int32(1))
+    _, tokens, _, _, _, n_gen, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, n_gen

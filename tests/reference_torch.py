@@ -56,13 +56,17 @@ def swiglu(x, w_gate, w_up, w_down):
 def deepseek_v2_forward(
     flat: Dict[str, np.ndarray],
     cfg,
-    input_ids: np.ndarray,  # [B, S]
+    input_ids: Optional[np.ndarray] = None,  # [B, S]
     prefix: str = "model.",
+    inputs_embeds: Optional[torch.Tensor] = None,  # [B, S, H]
 ) -> torch.Tensor:
     """Full-sequence forward; returns logits [B, S, V]."""
-    ids = torch.from_numpy(np.asarray(input_ids)).long()
-    embed = _t(flat, f"{prefix}embed_tokens.weight")
-    x = embed[ids]  # [B, S, H]
+    if inputs_embeds is not None:
+        x = inputs_embeds.float()
+    else:
+        ids = torch.from_numpy(np.asarray(input_ids)).long()
+        embed = _t(flat, f"{prefix}embed_tokens.weight")
+        x = embed[ids]  # [B, S, H]
     b, s, h = x.shape
     nh = cfg.num_attention_heads
     d = h // nh
@@ -164,6 +168,33 @@ def greedy_generate_reference(
         ids.append(nxt)
         if nxt == eos_id:
             break
+    return ids
+
+
+def greedy_from_embeds(
+    flat,
+    cfg,
+    prompt_embeds: torch.Tensor,  # [1, S, H]
+    prompt_ids: List[int],
+    max_new_tokens: int,
+    eos_id: int = 1,
+    ngram_size: int = 0,
+) -> List[int]:
+    """Greedy loop over multimodal prompt embeddings (recompute each step)."""
+    embed_tab = _t(flat, "model.embed_tokens.weight")
+    embeds = prompt_embeds.float()
+    ids = list(prompt_ids)
+    for _ in range(max_new_tokens):
+        logits = deepseek_v2_forward(flat, cfg, inputs_embeds=embeds)[0, -1]
+        banned = no_repeat_ngram_banned_ids(ids, ngram_size)
+        if banned:
+            logits = logits.clone()
+            logits[banned] = float("-inf")
+        nxt = int(torch.argmax(logits))
+        ids.append(nxt)
+        if nxt == eos_id:
+            break
+        embeds = torch.cat([embeds, embed_tab[nxt][None, None]], dim=1)
     return ids
 
 

@@ -87,7 +87,7 @@ def test_greedy_generate_token_exact(setup):
 
     ids = jnp.asarray(prompt, jnp.int32)
     embeds = jnp.take(params["embed"], ids, axis=0)[None]
-    tokens, total = greedy_generate(
+    tokens, n_gen = greedy_generate(
         params,
         cfg,
         embeds,
@@ -98,8 +98,34 @@ def test_greedy_generate_token_exact(setup):
         capacity=64,
         kv_dtype="float32",
     )
-    got = list(np.asarray(tokens[: int(total)]))
+    got = list(np.asarray(tokens[0, : len(prompt) + int(n_gen[0])]))
     assert got == want
+
+
+def test_batched_generate_matches_single(setup):
+    """Batched decode must reproduce per-sequence results row by row."""
+    cfg, flat, params = setup
+    prompts = [[0, 5, 9, 42, 7], [0, 100, 3, 250, 11]]
+    singles = [
+        ref.greedy_generate_reference(flat, cfg, p, max_new_tokens=10, eos_id=1, ngram_size=3)
+        for p in prompts
+    ]
+    ids = jnp.asarray(prompts, jnp.int32)
+    embeds = jnp.take(params["embed"], ids, axis=0)
+    tokens, n_gen = greedy_generate(
+        params,
+        cfg,
+        embeds,
+        ids,
+        max_new_tokens=10,
+        ngram_size=3,
+        eos_id=1,
+        capacity=64,
+        kv_dtype="float32",
+    )
+    for b, want in enumerate(singles):
+        got = list(np.asarray(tokens[b, : len(prompts[b]) + int(n_gen[b])]))
+        assert got == want, b
 
 
 def test_roundtrip_flat(setup):
