@@ -1,0 +1,179 @@
+"""Benchmark: full-size DeepSeek-OCR-2 on one TPU chip.
+
+Measures the BASELINE.json headline metrics with synthetic weights/images
+(the real checkpoint is not present in this environment; compute cost is
+identical):
+
+- ocr_pages_per_sec_per_chip: batched no-crop OCR (vision prefill + 32 new
+  tokens greedy, n-gram ban active), batch 8 — the serving configuration.
+- decode_tok_per_sec: steady-state decode throughput.
+- first_token_ms: single-page image -> first-token latency.
+
+vs_baseline compares against the north-star target of 20 pages/sec on
+v5e-8 = 2.5 pages/sec/chip (the reference publishes no throughput numbers,
+BASELINE.md).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_ocr2_tpu.configs import OCR2Config
+from deepseek_ocr2_tpu.models import deepseek_ocr2 as ocr2
+from deepseek_ocr2_tpu.runtime.generate import greedy_generate
+from deepseek_ocr2_tpu.runtime.kv_cache import bucket_capacity
+
+BATCH = 8
+MAX_NEW = 32
+VISION_CHUNK = 2  # pages per vision-encoder dispatch (bounds f32 score memory)
+NGRAM = 20
+
+
+def build_prompt(cfg: OCR2Config):
+    n_img = cfg.image_token_count((1, 1))  # no-crop: 257
+    ids = [cfg.bos_token_id] + [cfg.image_token_id] * n_img + [185, 14689, 6192, 13]
+    return np.asarray(ids, np.int32), 1, n_img
+
+
+def main() -> None:
+    cfg = OCR2Config()
+    key = jax.random.PRNGKey(0)
+    params = ocr2.init_params(cfg, key, lm_dtype=jnp.bfloat16, vision_dtype=jnp.bfloat16)
+    params = jax.tree_util.tree_map(lambda x: x, params)
+
+    ids, image_start, n_img = build_prompt(cfg)
+    prompt_len = len(ids)
+    capacity = bucket_capacity(prompt_len + MAX_NEW)
+    ids_b = jnp.asarray(np.tile(ids, (BATCH, 1)))
+
+    img_key = jax.random.PRNGKey(1)
+    images = jax.random.uniform(
+        img_key,
+        (BATCH, 3, cfg.base_image_size, cfg.base_image_size),
+        jnp.bfloat16,
+        minval=-1,
+        maxval=1,
+    )
+
+    @jax.jit
+    def vision_prefill_chunk(params, ids_chunk, imgs):
+        return ocr2.ocr_prefill_embeds_batched(
+            params, cfg, ids_chunk, imgs, None, image_start
+        )
+
+    def full_page_batch(images):
+        embeds = []
+        for i in range(0, BATCH, VISION_CHUNK):
+            embeds.append(
+                vision_prefill_chunk(
+                    params, ids_b[i : i + VISION_CHUNK], images[i : i + VISION_CHUNK]
+                )
+            )
+        embeds = jnp.concatenate(embeds, axis=0)
+        tokens, n_gen = greedy_generate(
+            params["lm"],
+            cfg.lm,
+            embeds,
+            ids_b,
+            max_new_tokens=MAX_NEW,
+            ngram_size=NGRAM,
+            eos_id=cfg.eos_token_id,
+            capacity=capacity,
+            kv_dtype="bfloat16",
+        )
+        # NOTE: on the tunneled TPU platform block_until_ready does not sync;
+        # a host transfer is the only reliable barrier.
+        return np.asarray(tokens[:, -1])
+
+    # Warmup / compile.
+    full_page_batch(images)
+
+    # Pages/sec (batched, end-to-end).
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        full_page_batch(images)
+        times.append(time.perf_counter() - t0)
+    pages_per_sec = BATCH / float(np.median(times))
+
+    # Decode tokens/sec: difference method over two budgets.
+    def decode_run(max_new, cap):
+        embeds = vision_prefill_chunk(params, ids_b[:1], images[:1])
+        tokens, _ = greedy_generate(
+            params["lm"],
+            cfg.lm,
+            embeds,
+            ids_b[:1],
+            max_new_tokens=max_new,
+            ngram_size=NGRAM,
+            eos_id=cfg.eos_token_id,
+            capacity=cap,
+            kv_dtype="bfloat16",
+        )
+        return np.asarray(tokens[:, -1])
+
+    cap2 = bucket_capacity(prompt_len + 160)
+    decode_run(8, cap2)
+    decode_run(136, cap2)
+    t0 = time.perf_counter()
+    decode_run(8, cap2)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_run(136, cap2)
+    t_long = time.perf_counter() - t0
+    decode_tps = 128.0 / max(t_long - t_short, 1e-9)
+
+    # First-token latency: single-page vision prefill + LM prefill + argmax.
+    @jax.jit
+    def first_token(params, ids1, img1):
+        from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+        from deepseek_ocr2_tpu.runtime.kv_cache import make_kv_cache
+
+        embeds = ocr2.ocr_prefill_embeds_batched(params, cfg, ids1, img1, None, image_start)
+        cache = make_kv_cache(
+            cfg.lm.num_hidden_layers,
+            1,
+            cfg.lm.num_attention_heads,
+            capacity,
+            cfg.lm.head_dim,
+            dtype=jnp.bfloat16,
+        )
+        hidden, _ = dsv2.lm_forward(params["lm"], cfg.lm, embeds, cache, pos=0, is_prefill=True)
+        return jnp.argmax(dsv2.logits_last(params["lm"], hidden), axis=-1)
+
+    np.asarray(first_token(params, ids_b[:1], images[:1]))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(first_token(params, ids_b[:1], images[:1]))
+        lat.append(time.perf_counter() - t0)
+    first_token_ms = float(np.median(lat)) * 1e3
+
+    target_per_chip = 20.0 / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "ocr_pages_per_sec_per_chip",
+                "value": round(pages_per_sec, 3),
+                "unit": "pages/s (no-crop, 32 new tokens, batch 8)",
+                "vs_baseline": round(pages_per_sec / target_per_chip, 3),
+                "decode_tok_per_sec": round(decode_tps, 1),
+                "first_token_ms": round(first_token_ms, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

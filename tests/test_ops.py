@@ -99,11 +99,18 @@ def test_moe_prefill_and_decode_match_oracle():
     xj = jnp.asarray(x)
     ej = {kk: jnp.asarray(v) for kk, v in experts.items()}
     weights, idx = moe_ops.route(xj, jnp.asarray(router), k)
-    got_prefill = np.asarray(moe_ops.moe_ffn_prefill(xj, ej, weights, idx))
-    got_decode = np.asarray(moe_ops.moe_ffn_decode(xj, ej, weights, idx))
+    for name, fn in (
+        ("dense", moe_ops.moe_ffn_dense),
+        ("ragged", moe_ops.moe_ffn_ragged),
+        ("decode", moe_ops.moe_ffn_decode),
+        ("prefill", moe_ops.moe_ffn_prefill),
+    ):
+        got = np.asarray(fn(xj, ej, weights, idx))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5, err_msg=name)
 
-    np.testing.assert_allclose(got_prefill, want, rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(got_decode, want, rtol=1e-4, atol=1e-5)
+    # decode slice branch (N*k <= E): same answer
+    got = np.asarray(moe_ops.moe_ffn_decode(xj[:3], ej, weights[:3], idx[:3]))
+    np.testing.assert_allclose(got, want[:3], rtol=1e-4, atol=1e-5)
 
 
 def test_ngram_ban_mask_matches_reference():
