@@ -31,6 +31,7 @@ import numpy as np
 from ..configs import DeepseekV2Config
 from ..io.safetensors_io import FlatSource, LoadReport
 from ..ops.attention import causal_mask, decode_mask, sdpa
+from ..ops.flash_attention import mha_pallas, pallas_enabled
 from ..ops.moe import moe_ffn_decode, moe_ffn_prefill, route, swiglu
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cache
@@ -292,8 +293,13 @@ def _attention(
     scale = 1.0 / math.sqrt(d)
     if is_prefill:
         # Fresh K/V in f32 for the prompt pass (reference deepseek_v2.rs:452).
-        mask = causal_mask(s, s)[None, None]
-        ctx = sdpa(q32, k32, v32, scale=scale, mask=mask, out_dtype=jnp.float32)
+        if pallas_enabled() and s >= 256:
+            ctx = mha_pallas(
+                q32, k32, v32, scale=scale, mode="causal", out_dtype=jnp.float32
+            )
+        else:
+            mask = causal_mask(s, s)[None, None]
+            ctx = sdpa(q32, k32, v32, scale=scale, mask=mask, out_dtype=jnp.float32)
     else:
         cap = cache_k.shape[2]
         mask = decode_mask(cap, pos + s - 1)[None, None]

@@ -23,6 +23,7 @@ import numpy as np
 from ..configs import Qwen2Config
 from ..io.safetensors_io import FlatSource, LoadReport
 from ..ops.attention import prefix_lm_mask, repeat_kv, sdpa
+from ..ops.flash_attention import mha_pallas, pallas_enabled
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cache
 
@@ -96,7 +97,9 @@ def params_from_flat(
     return params, src.report
 
 
-def _layer(x: jnp.ndarray, lp: Params, cfg: Qwen2Config, mask, cos, sin) -> jnp.ndarray:
+def _layer(
+    x: jnp.ndarray, lp: Params, cfg: Qwen2Config, mask, cos, sin, n_prefix: int
+) -> jnp.ndarray:
     b, s, h = x.shape
     nh, nkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     dt = x.dtype
@@ -112,7 +115,18 @@ def _layer(x: jnp.ndarray, lp: Params, cfg: Qwen2Config, mask, cos, sin) -> jnp.
     k32 = repeat_kv(k32, cfg.gqa_groups)
     v32 = repeat_kv(v.astype(jnp.float32), cfg.gqa_groups)
 
-    ctx = sdpa(q32, k32, v32, scale=1.0 / math.sqrt(d), mask=mask, out_dtype=dt)
+    if pallas_enabled() and s >= 256:
+        ctx = mha_pallas(
+            q32,
+            k32,
+            v32,
+            scale=1.0 / math.sqrt(d),
+            mode="prefix",
+            n_prefix=n_prefix,
+            out_dtype=dt,
+        )
+    else:
+        ctx = sdpa(q32, k32, v32, scale=1.0 / math.sqrt(d), mask=mask, out_dtype=dt)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
     x = res + ctx @ lp["wo"]
 
@@ -145,7 +159,7 @@ def qwen2_encode(params: Params, cfg: Qwen2Config, feats: jnp.ndarray) -> jnp.nd
     cos, sin = _rope_consts(cfg, seq)
 
     def body(x, lp):
-        return _layer(x, lp, cfg, mask, cos, sin), None
+        return _layer(x, lp, cfg, mask, cos, sin, n_query), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..configs import SamConfig
 from ..io.safetensors_io import FlatSource, LoadReport
+from ..ops.flash_attention import mha_pallas, pallas_enabled
 from ..ops.norms import layer_norm, layer_norm_2d
 
 Params = Dict[str, Any]
@@ -224,17 +225,30 @@ def _attention(x: jnp.ndarray, attn: Params, num_heads: int) -> jnp.ndarray:
     r_q = q32.reshape(b * num_heads, h, w, hd)
     rel_h = jnp.einsum("nhwc,hkc->nhwk", r_q, rh)  # [B*heads, H, W, Hk]
     rel_w = jnp.einsum("nhwc,wkc->nhwk", r_q, rw)  # [B*heads, H, W, Wk]
-    bias = rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
-    bias = bias.reshape(b, num_heads, l, l)
 
     scale = 1.0 / math.sqrt(hd)
-    scores = (
-        jnp.einsum("bnqd,bnkd->bnqk", q32, k32, preferred_element_type=jnp.float32)
-        * scale
-        + bias
-    )
-    weights = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bnqk,bnkd->bnqd", weights, v32).astype(x.dtype)
+    if pallas_enabled() and l % 128 == 0 and l >= 256:
+        # Fused-bias Pallas kernel: never materializes the [L, L] bias/scores
+        # in HBM (the XLA path below is HBM-bound at L=4096).
+        ctx = mha_pallas(
+            q32,
+            k32,
+            v32,
+            scale=scale,
+            rel_h=rel_h.reshape(b, num_heads, l, h),
+            rel_w=rel_w.reshape(b, num_heads, l, w),
+            out_dtype=x.dtype,
+        )
+    else:
+        bias = rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+        bias = bias.reshape(b, num_heads, l, l)
+        scores = (
+            jnp.einsum("bnqd,bnkd->bnqk", q32, k32, preferred_element_type=jnp.float32)
+            * scale
+            + bias
+        )
+        weights = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bnqk,bnkd->bnqd", weights, v32).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, h, w, dim)
     return ctx @ attn["proj_w"].astype(x.dtype) + attn["proj_b"].astype(x.dtype)
 

@@ -183,3 +183,51 @@ def should_crop(img: Image.Image, crop_mode: bool, crop_image_size: int) -> bool
     """Dynamic tiling triggers only for large images (main.rs:1430-1436)."""
     w, h = img.size
     return crop_mode and (w > crop_image_size or h > crop_image_size)
+
+
+# ---------------------------------------------------------------------------
+# Fused front-end entry points (native C++ fast path, PIL fallback)
+# ---------------------------------------------------------------------------
+
+
+def use_native() -> bool:
+    """Native path is opt-in: its Catmull-Rom resize is more precise than
+    PIL's fixed-point one (PIL clips the intermediate pass to uint8), so the
+    default stays PIL for bit-parity with HF preprocessing."""
+    import os
+
+    if not os.environ.get("DEEPSEEK_NATIVE_PREPROCESS"):
+        return False
+    from . import native
+
+    return native.available()
+
+
+def preprocess_base_nchw(img: Image.Image, size: int, pad_color: int = 127) -> np.ndarray:
+    """Letterbox + normalize -> [1, 3, size, size] float32 (fused)."""
+    if use_native():
+        from . import native
+
+        out = native.pad_normalize(np.asarray(img.convert("RGB")), size, pad_color)
+        if out is not None:
+            return out[None]
+    return images_to_nchw([pad_to_square(img, size, pad_color)])
+
+
+def preprocess_tiles_nchw(
+    img: Image.Image, size: int, ratio: Tuple[int, int]
+) -> np.ndarray:
+    """Dynamic-tiling crops + normalize -> [P, 3, size, size] float32 (fused)."""
+    if use_native():
+        from . import native
+
+        out = native.tile_normalize(np.asarray(img.convert("RGB")), size, ratio[0], ratio[1])
+        if out is not None:
+            return out
+    resized = img.resize((size * ratio[0], size * ratio[1]), Image.BICUBIC)
+    crops = []
+    for i in range(ratio[0] * ratio[1]):
+        x = (i % ratio[0]) * size
+        y = (i // ratio[0]) * size
+        crops.append(resized.crop((x, y, x + size, y + size)))
+    return images_to_nchw(crops)

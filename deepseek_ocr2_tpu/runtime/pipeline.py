@@ -119,13 +119,18 @@ class OCR2Pipeline:
         patches = None
         crop_ratio = (1, 1)
         if should_crop(img, not no_crop, cfg.crop_image_size):
-            crops, crop_ratio = dynamic_preprocess(
-                img, cfg.min_crop_tiles, cfg.max_crop_tiles, cfg.crop_image_size
-            )
-            patches = images_to_nchw(crops)
+            from ..preprocess.image import candidate_ratios, find_closest_aspect_ratio, preprocess_tiles_nchw
 
-        base = pad_to_square(img, cfg.base_image_size, cfg.pad_color)
-        image_base = images_to_nchw([base])
+            w, h = img.size
+            ratios = candidate_ratios(cfg.min_crop_tiles, cfg.max_crop_tiles)
+            crop_ratio = find_closest_aspect_ratio(
+                w / h, ratios, w, h, cfg.crop_image_size
+            )
+            patches = preprocess_tiles_nchw(img, cfg.crop_image_size, crop_ratio)
+
+        from ..preprocess.image import preprocess_base_nchw
+
+        image_base = preprocess_base_nchw(img, cfg.base_image_size, cfg.pad_color)
         return image_base, patches, crop_ratio, rotate_used
 
     def generate_ocr(

@@ -1,0 +1,86 @@
+"""Pallas attention kernel parity vs the XLA reference path.
+
+Runs compiled on TPU, interpreted elsewhere, so CI without TPU still checks
+the kernel math.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepseek_ocr2_tpu.ops.attention import causal_mask, prefix_lm_mask, sdpa
+from deepseek_ocr2_tpu.ops.flash_attention import mha_pallas
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _rand(key, *shape):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("lq,lk", [(256, 256), (300, 300), (128, 512)])
+def test_plain_attention(lq, lk):
+    b, h, d = 2, 3, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = _rand(ks[0], b, h, lq, d)
+    k = _rand(ks[1], b, h, lk, d)
+    v = _rand(ks[2], b, h, lk, d)
+    scale = 1.0 / math.sqrt(d)
+    want = np.asarray(sdpa(q, k, v, scale=scale))
+    got = np.asarray(mha_pallas(q, k, v, scale=scale, interpret=INTERPRET))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("s", [256, 384, 901])
+def test_causal_attention(s):
+    b, h, d = 1, 4, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = _rand(ks[0], b, h, s, d)
+    k = _rand(ks[1], b, h, s, d)
+    v = _rand(ks[2], b, h, s, d)
+    scale = 1.0 / math.sqrt(d)
+    want = np.asarray(sdpa(q, k, v, scale=scale, mask=causal_mask(s, s)[None, None]))
+    got = np.asarray(mha_pallas(q, k, v, scale=scale, mode="causal", interpret=INTERPRET))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_query", [144, 256])
+def test_prefix_lm_attention(n_query):
+    b, h, d = 2, 2, 64
+    s = 2 * n_query
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = _rand(ks[0], b, h, s, d)
+    k = _rand(ks[1], b, h, s, d)
+    v = _rand(ks[2], b, h, s, d)
+    scale = 1.0 / math.sqrt(d)
+    want = np.asarray(
+        sdpa(q, k, v, scale=scale, mask=prefix_lm_mask(s, n_query)[None, None])
+    )
+    got = np.asarray(
+        mha_pallas(q, k, v, scale=scale, mode="prefix", n_prefix=n_query, interpret=INTERPRET)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("side", [16, 48])
+def test_relpos_attention(side):
+    """SAM-style decomposed rel-pos bias folded into the kernel."""
+    b, h, d = 1, 2, 64
+    l = side * side
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = _rand(ks[0], b, h, l, d)
+    k = _rand(ks[1], b, h, l, d)
+    v = _rand(ks[2], b, h, l, d)
+    rel_h = _rand(ks[3], b, h, l, side) * 0.3
+    rel_w = _rand(ks[4], b, h, l, side) * 0.3
+    scale = 1.0 / math.sqrt(d)
+
+    bias = (rel_h[..., :, None] + rel_w[..., None, :]).reshape(b, h, l, l)
+    want = np.asarray(sdpa(q, k, v, scale=scale, bias=bias))
+    got = np.asarray(
+        mha_pallas(q, k, v, scale=scale, rel_h=rel_h, rel_w=rel_w, interpret=INTERPRET)
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
