@@ -17,10 +17,17 @@ import time
 
 def _dtype_arg(value: str) -> str:
     v = value.lower()
-    table = {"f32": "float32", "f16": "bfloat16", "bf16": "bfloat16"}
+    table = {
+        "f32": "float32",
+        "float32": "float32",
+        "f16": "bfloat16",
+        "float16": "bfloat16",
+        "bf16": "bfloat16",
+        "bfloat16": "bfloat16",
+    }
     if v not in table:
         raise argparse.ArgumentTypeError(f"invalid dtype {value!r} (f32|f16|bf16)")
-    if v == "f16":
+    if v in ("f16", "float16"):
         print("note: f16 maps to bf16 on TPU (native 16-bit type)", file=sys.stderr)
     return table[v]
 
@@ -71,6 +78,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--projector-dtype", type=_dtype_arg, default=None)
     sp.add_argument("--view-seperator-dtype", type=_dtype_arg, default=None)
     sp.add_argument("--lm-dtype", type=_dtype_arg, default="bfloat16")
+
+    sp = sub.add_parser(
+        "convert", help="Re-write a checkpoint with a dtype policy (e.g. cast to bf16)"
+    )
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--dtype", type=_dtype_arg, default="bfloat16")
+    sp.add_argument(
+        "--keep-f32-prefix",
+        action="append",
+        default=[],
+        help="tensor-name prefix to keep in float32 (repeatable)",
+    )
 
     sp = sub.add_parser("debug-rope", help="RoPE numeric sanity check on this backend")
     sp.add_argument("--max-seq-len", type=int, default=16)
@@ -288,6 +308,18 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from .io import DtypePolicy, load_flat, save_flat
+
+    policy = DtypePolicy(default=args.dtype)
+    for prefix in args.keep_f32_prefix:
+        policy = policy.with_prefix(prefix, "float32")
+    flat = load_flat(args.weights, policy)
+    save_flat(flat, args.out)
+    print(f"wrote {len(flat)} tensors to {args.out}", file=sys.stderr)
+    return 0
+
+
 def cmd_debug_rope(args) -> int:
     import jax.numpy as jnp
     import numpy as np
@@ -321,6 +353,8 @@ def main(argv=None) -> int:
         return cmd_generate_ocr(args)
     if args.command == "serve":
         return cmd_serve(args)
+    if args.command == "convert":
+        return cmd_convert(args)
     if args.command == "debug-rope":
         return cmd_debug_rope(args)
     raise SystemExit(2)

@@ -78,6 +78,20 @@ def params_from_flat(
     return params, report
 
 
+def flat_from_params(params: Params, cfg: OCR2Config) -> Dict[str, np.ndarray]:
+    """Full composite -> flat PyTorch-layout dict (checkpoint saving)."""
+    flat: Dict[str, np.ndarray] = {}
+    flat.update(dsv2.flat_from_params(params["lm"], cfg.lm, prefix="model."))
+    flat.update(sam_mod.flat_from_params(params["sam"], cfg.sam))
+    flat.update(qwen2_mod.flat_from_params(params["qwen2"], cfg.qwen2))
+    flat["model.projector.layers.weight"] = np.ascontiguousarray(
+        np.asarray(params["projector"]["w"]).T
+    )
+    flat["model.projector.layers.bias"] = np.asarray(params["projector"]["b"])
+    flat["model.view_seperator"] = np.asarray(params["view_seperator"])
+    return flat
+
+
 def encode_views(
     params: Params,
     cfg: OCR2Config,

@@ -390,10 +390,199 @@ def lm_forward(
     return hidden, new_cache
 
 
+def _attention_decode_ragged(
+    x: jnp.ndarray,  # [B, 1, H]
+    attn: Dict[str, jnp.ndarray],
+    cfg: DeepseekV2Config,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,  # [B, Hh, cap, D]
+    cache_v: jnp.ndarray,
+    pos: jnp.ndarray,  # [B] per-slot positions (continuous batching)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode attention where every batch slot sits at its own position.
+
+    Powers continuous batching: slots hold sequences of different lengths, so
+    RoPE, the KV write, and the valid-key mask are all per-slot.
+    """
+    b, s, h = x.shape
+    assert s == 1
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    kv_dtype = cache_k.dtype
+
+    q = (x @ attn["wq"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+    k = (x @ attn["wk"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+    v = (x @ attn["wv"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+
+    # Per-slot RoPE: gather each slot's cos/sin row.
+    cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]  # [B,1,1,D]
+    sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+
+    def rot(t):
+        half = t.shape[-1] // 2
+        return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+
+    q32 = q32 * cos_b + rot(q32) * sin_b
+    k32 = k32 * cos_b + rot(k32) * sin_b
+    v32 = v.astype(jnp.float32)
+
+    # Per-slot KV write: scatter one timestep per batch row.
+    rows = jnp.arange(b)
+    cache_k = cache_k.at[rows, :, pos, :].set(k32[:, :, 0, :].astype(kv_dtype))
+    cache_v = cache_v.at[rows, :, pos, :].set(v32[:, :, 0, :].astype(kv_dtype))
+
+    cap = cache_k.shape[2]
+    mask = (jnp.arange(cap)[None, :] > pos[:, None])[:, None, None, :]  # [B,1,1,cap]
+    ctx = sdpa(
+        q32,
+        cache_k.astype(jnp.float32),
+        cache_v.astype(jnp.float32),
+        scale=1.0 / math.sqrt(d),
+        mask=mask,
+        out_dtype=jnp.float32,
+    )
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, h).astype(x.dtype)
+    return ctx @ attn["wo"], cache_k, cache_v
+
+
+def lm_decode_step_ragged(
+    params: Params,
+    cfg: DeepseekV2Config,
+    embeds: jnp.ndarray,  # [B, 1, H]
+    cache,
+    pos: jnp.ndarray,  # [B]
+) -> Tuple[jnp.ndarray, Any]:
+    """One decode step with per-slot positions. Returns (hidden [B,1,H], cache)."""
+    cos, sin = _rope_consts(cfg)
+    x = embeds
+    ld = cfg.first_k_dense_replace
+
+    new_k_dense, new_v_dense = [], []
+    for i in range(ld):
+        layer = _index_tree(params["layers_dense"], i)
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention_decode_ragged(
+            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        b, s, h = xn.shape
+        mlp_out = swiglu(
+            xn.reshape(b * s, h), layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
+        ).reshape(b, s, h)
+        x = res + mlp_out
+        new_k_dense.append(ck)
+        new_v_dense.append(cv)
+
+    def moe_layer_body(x, xs):
+        layer, ck, cv = xs
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention_decode_ragged(
+            xn, layer["attn"], cfg, cos, sin, ck, cv, pos
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        b, s, h = xn.shape
+        x_flat = xn.reshape(b * s, h)
+        weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+        routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
+        shared = swiglu(
+            x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
+        )
+        x = res + (routed + shared).reshape(b, s, h)
+        return x, (ck, cv)
+
+    moe_xs = (params["layers_moe"], cache["k"][ld:], cache["v"][ld:])
+    x, (moe_k, moe_v) = jax.lax.scan(moe_layer_body, x, moe_xs)
+
+    new_cache = {
+        "k": jnp.concatenate([jnp.stack(new_k_dense), moe_k], axis=0),
+        "v": jnp.concatenate([jnp.stack(new_v_dense), moe_v], axis=0),
+    }
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
 def logits_last(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """lm_head on the last position only (reference deepseek_v2.rs:981-990)."""
     last = hidden[:, -1, :]
     return last @ params["lm_head"]
+
+
+def lm_forward_debug(params: Params, cfg: DeepseekV2Config, embeds: jnp.ndarray) -> jnp.ndarray:
+    """Eager prefill with the reference's debug stat dumps.
+
+    Mirrors the env-gated channels DEEPSEEK_DEBUG_ATTN (per-attention stats,
+    reference deepseek_v2.rs:18-43), DEEPSEEK_DEBUG_MOE (routing counts,
+    :662-665, :738), and DEEPSEEK_DEBUG_LAYER0 (layer-0 breakdown,
+    main.rs:865-948). Runs layer-by-layer without jit so every intermediate
+    can be materialized; debugging only.
+    """
+    from ..utils.debug import dbg_print, dbg_stats, enabled
+
+    cos, sin = _rope_consts(cfg)
+    b, s, h = embeds.shape
+    cache = {
+        "k": jnp.zeros(
+            (cfg.num_hidden_layers, b, cfg.num_attention_heads, s, cfg.head_dim),
+            jnp.float32,
+        ),
+        "v": jnp.zeros(
+            (cfg.num_hidden_layers, b, cfg.num_attention_heads, s, cfg.head_dim),
+            jnp.float32,
+        ),
+    }
+    x = embeds
+    ld = cfg.first_k_dense_replace
+    for i in range(cfg.num_hidden_layers):
+        if i < ld:
+            layer = _index_tree(params["layers_dense"], i)
+        else:
+            layer = _index_tree(params["layers_moe"], i - ld)
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        dbg_stats("DEEPSEEK_DEBUG_ATTN", f"layer{i}.attn.in_x", xn)
+        attn_out, _, _ = _attention(
+            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], 0, True
+        )
+        dbg_stats("DEEPSEEK_DEBUG_ATTN", f"layer{i}.attn.out", attn_out)
+        x = res + attn_out
+        if i == 0:
+            dbg_stats("DEEPSEEK_DEBUG_LAYER0", "layer0.after_attn", x)
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x_flat = xn.reshape(b * s, h)
+        if i < ld:
+            mlp_out = swiglu(
+                x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
+            )
+        else:
+            weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+            if enabled("DEEPSEEK_DEBUG_MOE"):
+                idx_h = np.asarray(idx)
+                counts = np.bincount(idx_h.reshape(-1), minlength=cfg.n_routed_experts)
+                dbg_print("DEEPSEEK_DEBUG_MOE", f"layer{i} moe counts={counts.tolist()}")
+                dbg_print(
+                    "DEEPSEEK_DEBUG_MOE",
+                    f"layer{i} moe topk_idx[:4]={idx_h[:4].tolist()} "
+                    f"topk_weight[:4]={np.asarray(weights)[:4].round(5).tolist()}",
+                )
+            routed = moe_ffn_prefill(x_flat, layer["experts"], weights, idx)
+            shared = swiglu(
+                x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
+            )
+            mlp_out = routed + shared
+            dbg_stats("DEEPSEEK_DEBUG_MOE", f"layer{i}.moe.out_total", mlp_out)
+        x = res + mlp_out.reshape(b, s, h)
+        if i == 0:
+            dbg_stats("DEEPSEEK_DEBUG_LAYER0", "layer0.out", x)
+    return rms_norm(x, params["norm"], cfg.rms_norm_eps)
 
 
 def logits_all(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

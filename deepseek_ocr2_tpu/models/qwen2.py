@@ -97,6 +97,38 @@ def params_from_flat(
     return params, src.report
 
 
+def flat_from_params(
+    params: Params, cfg: Qwen2Config, prefix: str = "model.qwen2_model."
+) -> Dict[str, np.ndarray]:
+    """Inverse of params_from_flat (PyTorch layout) for checkpoint saving."""
+    flat: Dict[str, np.ndarray] = {}
+    mp = prefix + "model.model."
+
+    def put(name, arr, transpose=False):
+        a = np.asarray(arr)
+        flat[name] = np.ascontiguousarray(a.T) if transpose else a
+
+    layers = params["layers"]
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{mp}layers.{i}."
+        put(lp + "input_layernorm.weight", layers["ln1"][i])
+        put(lp + "post_attention_layernorm.weight", layers["ln2"][i])
+        put(lp + "self_attn.q_proj.weight", layers["wq"][i], transpose=True)
+        put(lp + "self_attn.q_proj.bias", layers["bq"][i])
+        put(lp + "self_attn.k_proj.weight", layers["wk"][i], transpose=True)
+        put(lp + "self_attn.k_proj.bias", layers["bk"][i])
+        put(lp + "self_attn.v_proj.weight", layers["wv"][i], transpose=True)
+        put(lp + "self_attn.v_proj.bias", layers["bv"][i])
+        put(lp + "self_attn.o_proj.weight", layers["wo"][i], transpose=True)
+        put(lp + "mlp.gate_proj.weight", layers["gate"][i], transpose=True)
+        put(lp + "mlp.up_proj.weight", layers["up"][i], transpose=True)
+        put(lp + "mlp.down_proj.weight", layers["down"][i], transpose=True)
+    put(mp + "norm.weight", params["norm"])
+    put(prefix + "query_768.weight", params["query_768"])
+    put(prefix + "query_1024.weight", params["query_1024"])
+    return flat
+
+
 def _layer(
     x: jnp.ndarray, lp: Params, cfg: Qwen2Config, mask, cos, sin, n_prefix: int
 ) -> jnp.ndarray:

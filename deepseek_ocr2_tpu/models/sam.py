@@ -137,6 +137,44 @@ def params_from_flat(
     return params, src.report
 
 
+def flat_from_params(params: Params, cfg: SamConfig, prefix: str = "model.sam_model.") -> Dict[str, np.ndarray]:
+    """Inverse of params_from_flat (PyTorch layout) for checkpoint saving."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def put(name, arr, transpose=False):
+        a = np.asarray(arr)
+        flat[name] = np.ascontiguousarray(a.T) if transpose else a
+
+    put(prefix + "patch_embed.proj.weight", params["patch_embed"]["w"])
+    put(prefix + "patch_embed.proj.bias", params["patch_embed"]["b"])
+    put(prefix + "pos_embed", params["pos_embed"])
+    for i, blk in enumerate(params["blocks"]):
+        bp = f"{prefix}blocks.{i}."
+        put(bp + "norm1.weight", blk["ln1"]["w"])
+        put(bp + "norm1.bias", blk["ln1"]["b"])
+        put(bp + "norm2.weight", blk["ln2"]["w"])
+        put(bp + "norm2.bias", blk["ln2"]["b"])
+        put(bp + "attn.qkv.weight", blk["attn"]["qkv_w"], transpose=True)
+        put(bp + "attn.qkv.bias", blk["attn"]["qkv_b"])
+        put(bp + "attn.proj.weight", blk["attn"]["proj_w"], transpose=True)
+        put(bp + "attn.proj.bias", blk["attn"]["proj_b"])
+        put(bp + "attn.rel_pos_h", blk["attn"]["rel_h"])
+        put(bp + "attn.rel_pos_w", blk["attn"]["rel_w"])
+        put(bp + "mlp.lin1.weight", blk["mlp"]["w1"], transpose=True)
+        put(bp + "mlp.lin1.bias", blk["mlp"]["b1"])
+        put(bp + "mlp.lin2.weight", blk["mlp"]["w2"], transpose=True)
+        put(bp + "mlp.lin2.bias", blk["mlp"]["b2"])
+    put(prefix + "neck.0.weight", params["neck"]["conv1"])
+    put(prefix + "neck.1.weight", params["neck"]["ln1"]["w"])
+    put(prefix + "neck.1.bias", params["neck"]["ln1"]["b"])
+    put(prefix + "neck.2.weight", params["neck"]["conv2"])
+    put(prefix + "neck.3.weight", params["neck"]["ln2"]["w"])
+    put(prefix + "neck.3.bias", params["neck"]["ln2"]["b"])
+    put(prefix + "net_2.weight", params["net_2"])
+    put(prefix + "net_3.weight", params["net_3"])
+    return flat
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

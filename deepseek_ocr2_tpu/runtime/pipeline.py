@@ -200,12 +200,43 @@ class OCR2Pipeline:
             self.params, cfg, ids_j, jnp.asarray(image_base), patches_j, image_start, self.act_dtype
         )
 
+    def _debug_prefill_dumps(self, embeds) -> None:
+        """Reference debug channels: step-0 top-10 logits (DEEPSEEK_DEBUG_TOPK,
+        main.rs:954-980) and the eager per-layer dumps (ATTN/MOE/LAYER0)."""
+        from ..models.deepseek_v2 import lm_forward_debug, logits_last as _ll
+
+        hidden = lm_forward_debug(self.params["lm"], self.cfg.lm, embeds)
+        if enabled("DEEPSEEK_DEBUG_TOPK"):
+            logits = np.asarray(_ll(self.params["lm"], hidden)[0], np.float32)
+            order = np.argsort(-np.nan_to_num(logits, nan=-np.inf))[:10]
+            toks = [
+                self.tokenizer.decode([int(i)], skip_special_tokens=False)
+                for i in order
+            ]
+            dbg_print("DEEPSEEK_DEBUG_TOPK", f"step0 top10 ids={order.tolist()}")
+            dbg_print("DEEPSEEK_DEBUG_TOPK", f"step0 top10 tok={toks}")
+            dbg_print(
+                "DEEPSEEK_DEBUG_TOPK",
+                f"step0 top10 logit={[round(float(logits[i]), 4) for i in order]}",
+            )
+
     # -- shared decode ------------------------------------------------------
 
     def _generate(self, embeds, ids, max_new_tokens, ngram_size, eos) -> GenerationResult:
         cfg = self.cfg
         prompt_len = len(ids)
         capacity = bucket_capacity(prompt_len + max_new_tokens)
+
+        if any(
+            enabled(c)
+            for c in (
+                "DEEPSEEK_DEBUG_TOPK",
+                "DEEPSEEK_DEBUG_ATTN",
+                "DEEPSEEK_DEBUG_MOE",
+                "DEEPSEEK_DEBUG_LAYER0",
+            )
+        ):
+            self._debug_prefill_dumps(embeds)
 
         t0 = time.perf_counter()
         embeds = jax.block_until_ready(embeds)
@@ -232,6 +263,11 @@ class OCR2Pipeline:
                 piece = self.tokenizer.decode([int(tid)], skip_special_tokens=False)
                 dbg_print("DEEPSEEK_DEBUG_TOKENS", f"step{step} next_id={tid} tok={piece!r}")
         text = decode_output(self.tokenizer, gen_ids, cfg.stop_string)
+        if enabled("DEEPSEEK_DEBUG_OCR"):
+            dbg_print(
+                "DEEPSEEK_DEBUG_OCR",
+                f"prompt_len={prompt_len} new_tokens={len(gen_ids)} capacity={capacity}",
+            )
         return GenerationResult(
             text=text,
             token_ids=all_ids,

@@ -1,0 +1,76 @@
+"""Continuous-batching engine: token-exact vs the single-page pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from deepseek_ocr2_tpu.configs import tiny_ocr2_config
+from deepseek_ocr2_tpu.models import deepseek_ocr2 as ocr2
+from deepseek_ocr2_tpu.runtime.continuous import ContinuousOCREngine
+from deepseek_ocr2_tpu.runtime.pipeline import OCR2Pipeline
+
+import reference_torch_vision as refv
+
+
+def _tiny_tokenizer():
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {"<unk>": 2, "Free": 10, "OCR.": 11, "hello": 13}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    return tok
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import dataclasses
+
+    cfg = tiny_ocr2_config()
+    cfg = dataclasses.replace(cfg, image_token_id=500)
+    flat = refv.random_ocr2_flat(cfg, seed=21)
+    params, report = ocr2.params_from_flat(flat, cfg)
+    report.raise_on_errors()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    pipe = OCR2Pipeline(params, cfg, _tiny_tokenizer(), kv_dtype="float32", act_dtype="float32")
+    return cfg, pipe
+
+
+def _pages(n):
+    rng = np.random.default_rng(3)
+    pages = []
+    for i in range(n):
+        # Different sizes: some trigger cropping (>=192), one does not.
+        w, h = [(500, 300), (160, 120), (400, 400), (640, 200)][i % 4]
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        pages.append(Image.fromarray(arr))
+    return pages
+
+
+def test_continuous_matches_single(setup):
+    cfg, pipe = setup
+    pages = _pages(3)
+
+    singles = [
+        pipe.generate_ocr(p, max_new_tokens=6, ngram_size=3) for p in pages
+    ]
+
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    batched = engine.run(pages, max_new_tokens=6, ngram_size=3)
+
+    for i, (s, b) in enumerate(zip(singles, batched)):
+        assert b is not None, i
+        assert b.token_ids == s.token_ids, (i, s.token_ids, b.token_ids)
+        assert b.text == s.text
+
+
+def test_continuous_more_pages_than_slots(setup):
+    cfg, pipe = setup
+    pages = _pages(5)
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=3)
+    results = engine.run(pages, max_new_tokens=4, ngram_size=0)
+    assert all(r is not None for r in results)
+    singles = [pipe.generate_ocr(p, max_new_tokens=4, ngram_size=0) for p in pages]
+    for s, b in zip(singles, results):
+        assert b.token_ids == s.token_ids
