@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-repeat-ngram-size", type=int, default=20)
     sp.add_argument("--vision-dtype", type=_dtype_arg, default="bfloat16")
     sp.add_argument("--lm-dtype", type=_dtype_arg, default="bfloat16")
+    sp.add_argument(
+        "--continuous",
+        action="store_true",
+        help="continuous batching (slots refill as pages finish; best for long outputs)",
+    )
+    sp.add_argument("--capacity", type=int, default=2048, help="KV slot capacity (continuous)")
     return p
 
 
@@ -289,10 +295,17 @@ def cmd_generate_ocr(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from .runtime.engine import OCR2Engine
-
     pipe, cfg = _load_ocr_pipeline(args)
-    engine = OCR2Engine(pipe, batch_size=args.batch_size)
+    if args.continuous:
+        from .runtime.continuous import ContinuousOCREngine
+
+        engine = ContinuousOCREngine(
+            pipe, slots=args.batch_size, capacity=args.capacity
+        )
+    else:
+        from .runtime.engine import OCR2Engine
+
+        engine = OCR2Engine(pipe, batch_size=args.batch_size)
     t0 = time.perf_counter()
     results = engine.run(
         args.images,
