@@ -1,0 +1,158 @@
+"""Pallas paged decode attention (vLLM-style block tables, TPU-native).
+
+The serving tier stores K/V in fixed-size pages drawn from a shared pool;
+each sequence owns a block table of page ids. This kernel computes one
+decode step's attention by walking a sequence's block table with
+scalar-prefetched indices — the page id feeds the BlockSpec index_map, so
+each grid step DMAs exactly one page from HBM and accumulates a streaming
+(flash) softmax in VMEM scratch.
+
+Numeric policy matches the dense decode path: scores and softmax in f32,
+invalid keys masked to -inf (padding contributes exactly zero).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _paged_kernel(
+    # scalar prefetch
+    block_tables_ref,  # [B, max_pages] i32
+    seq_lens_ref,  # [B] i32
+    # inputs
+    q_ref,  # [1, Hh, D] (whole head dim; per-head row selected in kernel)
+    k_ref,  # [1, 1, page, D]
+    v_ref,  # [1, 1, page, D]
+    # outputs
+    o_ref,  # [1, Hh, D]
+    # scratch
+    m_ref,  # [1, 1] f32
+    l_ref,  # [1, 1] f32
+    acc_ref,  # [1, D] f32
+    *,
+    scale: float,
+    page_size: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[0, 0] = NEG_INF
+        l_ref[0, 0] = 0.0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(p * page_size < seq_len)
+    def _():
+        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)  # [1, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [page, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)  # [1, page]
+
+        k_pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1
+        )
+        s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
+
+        m_old = m_ref[0, 0]
+        m_new = jnp.maximum(m_old, jnp.max(s))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)  # [1, page]
+        l_ref[0, 0] = alpha * l_ref[0, 0] + jnp.sum(p_ij)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[0, 0] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        denom = jnp.maximum(l_ref[0, 0], 1e-37)
+        o_ref[0, h] = (acc_ref[0] / denom).astype(o_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,  # [B, Hh, D] query for the new token
+    k_pages: jnp.ndarray,  # [P, Hh, page, D] page pool
+    v_pages: jnp.ndarray,  # [P, Hh, page, D]
+    block_tables: jnp.ndarray,  # [B, max_pages] i32
+    seq_lens: jnp.ndarray,  # [B] i32 (valid keys, including the new token)
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Streaming-softmax attention over paged K/V. Returns [B, Hh, D] f32."""
+    b, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pages.shape[2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hh, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh, d), lambda bi, hi, pi, bt, sl: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl: (bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl: (bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hh, d), lambda bi, hi, pi, bt, sl: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_kernel, scale=scale, page_size=page_size)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, d), jnp.float32),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), q, k_pages, v_pages)
+
+
+def paged_decode_attention_xla(
+    q, k_pages, v_pages, block_tables, seq_lens, *, scale
+) -> jnp.ndarray:
+    """XLA reference path (gathers pages; correctness oracle + CPU fallback)."""
+    b, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pages.shape[2]
+    # [B, max_pages, Hh, page, D] -> [B, Hh, max_pages*page, D]
+    k = jnp.take(k_pages, block_tables, axis=0)
+    v = jnp.take(v_pages, block_tables, axis=0)
+    k = k.transpose(0, 2, 1, 3, 4).reshape(b, hh, max_pages * page_size, d)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, hh, max_pages * page_size, d)
+    s = jnp.einsum(
+        "bhd,bhkd->bhk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * jnp.float32(scale)
+    k_pos = jnp.arange(max_pages * page_size)[None, None, :]
+    s = jnp.where(k_pos < seq_lens[:, None, None], s, jnp.float32(NEG_INF))
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhk,bhkd->bhd", w, v.astype(jnp.float32))

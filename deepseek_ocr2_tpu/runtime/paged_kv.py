@@ -1,0 +1,192 @@
+"""Paged KV cache: fixed-size pages from a shared pool + per-slot block tables.
+
+Memory-elastic alternative to the contiguous per-slot cache (kv_cache.py):
+sequences of very different lengths share one pool, pages are recycled on
+completion, and capacity is bounded by total tokens in flight rather than
+slots x max_len. Decode attention over pages runs in the Pallas kernel
+(ops/paged_attention.py); page allocation is host-side (the engine owns the
+free list).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DeepseekV2Config
+from ..ops.moe import moe_ffn_decode, route, swiglu
+from ..ops.norms import rms_norm
+from ..ops.paged_attention import paged_decode_attention, paged_decode_attention_xla
+from ..ops.flash_attention import pallas_enabled
+from ..models.deepseek_v2 import _index_tree, _rope_consts
+
+PagedKV = Dict[str, jnp.ndarray]  # {'k': [L, P, Hh, page, D], 'v': ...}
+
+
+def make_paged_kv_cache(
+    num_layers: int,
+    num_pages: int,
+    num_heads: int,
+    page_size: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> PagedKV:
+    shape = (num_layers, num_pages, num_heads, page_size, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+class PageAllocator:
+    """Host-side free list over the page pool."""
+
+    def __init__(self, num_pages: int):
+        self.free: List[int] = list(range(num_pages))
+
+    def allocate(self, n: int) -> List[int]:
+        if n > len(self.free):
+            raise RuntimeError(f"page pool exhausted (need {n}, have {len(self.free)})")
+        out = self.free[:n]
+        del self.free[:n]
+        return out
+
+    def release(self, pages: List[int]) -> None:
+        self.free.extend(pages)
+
+
+def pages_for(seq_len: int, page_size: int) -> int:
+    return -(-seq_len // page_size)
+
+
+def write_prompt_pages(
+    pool: jnp.ndarray,  # [L, P, Hh, page, D]
+    k_prompt: jnp.ndarray,  # [L, 1, Hh, S, D] (from a contiguous prefill cache)
+    page_ids: jnp.ndarray,  # [n_pages] i32
+    seq_len: int,
+) -> jnp.ndarray:
+    """Scatter a prompt's K (or V) into its allocated pages."""
+    l, _, hh, s_cap, d = k_prompt.shape
+    page = pool.shape[3]
+    n_pages = page_ids.shape[0]
+    padded = n_pages * page
+    kp = k_prompt[:, 0, :, :padded, :]  # [L, Hh, padded, D] (cap >= padded)
+    kp = kp.reshape(l, hh, n_pages, page, d).transpose(0, 2, 1, 3, 4)
+    return pool.at[:, page_ids].set(kp.astype(pool.dtype))
+
+
+def write_token_pages(
+    pool: jnp.ndarray,  # [L, P, Hh, page, D]
+    new: jnp.ndarray,  # [L, B, Hh, D] this step's K (or V)
+    block_tables: jnp.ndarray,  # [B, max_pages]
+    pos: jnp.ndarray,  # [B] position being written
+) -> jnp.ndarray:
+    page = pool.shape[3]
+    b = new.shape[1]
+    rows = jnp.arange(b)
+    page_ids = block_tables[rows, pos // page]  # [B]
+    off = pos % page
+    # scatter [L, B, Hh, D] into [:, page_ids, :, off, :]
+    return pool.at[:, page_ids, :, off, :].set(new.astype(pool.dtype))
+
+
+def lm_decode_step_paged(
+    params,
+    cfg: DeepseekV2Config,
+    embeds: jnp.ndarray,  # [B, 1, H]
+    cache: PagedKV,
+    block_tables: jnp.ndarray,  # [B, max_pages]
+    pos: jnp.ndarray,  # [B] per-slot position of the new token
+    *,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """One decode step over the paged cache. Returns (hidden [B,1,H], cache)."""
+    cos, sin = _rope_consts(cfg)
+    b, s, h = embeds.shape
+    assert s == 1
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    ld = cfg.first_k_dense_replace
+    scale = 1.0 / math.sqrt(d)
+    seq_lens = pos + 1
+    run_pallas = use_pallas and pallas_enabled()
+
+    cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
+    sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+
+    def rot(t):
+        half = t.shape[-1] // 2
+        return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+
+    def layer_step(x, layer, k_pool, v_pool):
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q = (xn @ layer["attn"]["wq"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+        k = (xn @ layer["attn"]["wk"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+        v = (xn @ layer["attn"]["wv"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+        q32 = q.astype(jnp.float32) * cos_b + rot(q.astype(jnp.float32)) * sin_b
+        k32 = k.astype(jnp.float32) * cos_b + rot(k.astype(jnp.float32)) * sin_b
+        v32 = v.astype(jnp.float32)
+
+        page = k_pool.shape[2]
+        rows = jnp.arange(b)
+        page_ids = block_tables[rows, pos // page]
+        off = pos % page
+        k_pool = k_pool.at[page_ids, :, off, :].set(
+            k32[:, :, 0, :].astype(k_pool.dtype)
+        )
+        v_pool = v_pool.at[page_ids, :, off, :].set(
+            v32[:, :, 0, :].astype(v_pool.dtype)
+        )
+
+        q_dec = q32[:, :, 0, :]  # [B, Hh, D]
+        if run_pallas:
+            ctx = paged_decode_attention(
+                q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
+            )
+        else:
+            ctx = paged_decode_attention_xla(
+                q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
+            )
+        ctx = ctx.reshape(b, 1, h).astype(x.dtype)
+        x = res + ctx @ layer["attn"]["wo"]
+
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x_flat = xn.reshape(b, h)
+        if "router" in layer:
+            weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+            routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
+            shared = swiglu(
+                x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
+            )
+            mlp_out = routed + shared
+        else:
+            mlp_out = swiglu(
+                x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
+            )
+        x = res + mlp_out.reshape(b, 1, h)
+        return x, k_pool, v_pool
+
+    x = embeds
+    new_k, new_v = [], []
+    for i in range(ld):
+        layer = _index_tree(params["layers_dense"], i)
+        x, kp, vp = layer_step(x, layer, cache["k"][i], cache["v"][i])
+        new_k.append(kp)
+        new_v.append(vp)
+
+    def moe_body(x, xs):
+        layer, kp, vp = xs
+        x, kp, vp = layer_step(x, layer, kp, vp)
+        return x, (kp, vp)
+
+    moe_xs = (params["layers_moe"], cache["k"][ld:], cache["v"][ld:])
+    x, (mk, mv) = jax.lax.scan(moe_body, x, moe_xs)
+
+    cache = {
+        "k": jnp.concatenate([jnp.stack(new_k), mk], axis=0),
+        "v": jnp.concatenate([jnp.stack(new_v), mv], axis=0),
+    }
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return hidden, cache

@@ -1,0 +1,98 @@
+"""Paged KV cache + paged decode attention parity."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepseek_ocr2_tpu.configs import tiny_lm_config
+from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+from deepseek_ocr2_tpu.ops.paged_attention import (
+    paged_decode_attention,
+    paged_decode_attention_xla,
+)
+from deepseek_ocr2_tpu.runtime import paged_kv
+from deepseek_ocr2_tpu.runtime.kv_cache import make_kv_cache
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def test_paged_kernel_matches_xla_oracle():
+    b, hh, d, page, n_pool, max_pages = 3, 4, 128, 128, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, hh, d), jnp.float32)
+    k_pages = jax.random.normal(ks[1], (n_pool, hh, page, d), jnp.float32)
+    v_pages = jax.random.normal(ks[2], (n_pool, hh, page, d), jnp.float32)
+    rng = np.random.default_rng(0)
+    tables = jnp.asarray(
+        rng.permutation(n_pool)[: b * max_pages].reshape(b, max_pages), jnp.int32
+    )
+    seq_lens = jnp.asarray([1, page + 7, max_pages * page], jnp.int32)
+
+    want = np.asarray(
+        paged_decode_attention_xla(q, k_pages, v_pages, tables, seq_lens, scale=1 / math.sqrt(d))
+    )
+    got = np.asarray(
+        paged_decode_attention(
+            q, k_pages, v_pages, tables, seq_lens, scale=1 / math.sqrt(d), interpret=INTERPRET
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_step_matches_ragged():
+    """Full paged decode step == contiguous ragged decode step, multi-step."""
+    cfg = tiny_lm_config()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, dsv2.init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    )
+    b, s = 2, 11
+    page = 8
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    embeds = jnp.take(params["embed"], ids, axis=0)
+
+    # Contiguous prefill (shared starting point).
+    cap = 32
+    cache = make_kv_cache(
+        cfg.num_hidden_layers, b, cfg.num_attention_heads, cap, cfg.head_dim, jnp.float32
+    )
+    hidden, cache = dsv2.lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+
+    # Build the paged pool from the prefill cache: per slot, contiguous pages.
+    n_pages_per = paged_kv.pages_for(cap, page)
+    pool = paged_kv.make_paged_kv_cache(
+        cfg.num_hidden_layers, 2 * n_pages_per + 1, cfg.num_attention_heads, page,
+        cfg.head_dim, jnp.float32,
+    )
+    alloc = paged_kv.PageAllocator(2 * n_pages_per + 1)
+    _ = alloc.allocate(1)  # burn page 0 so tables aren't trivially identity
+    tables = []
+    for slot in range(b):
+        pages = alloc.allocate(n_pages_per)
+        pool["k"] = paged_kv.write_prompt_pages(
+            pool["k"], cache["k"][:, slot : slot + 1], jnp.asarray(pages, jnp.int32), s
+        )
+        pool["v"] = paged_kv.write_prompt_pages(
+            pool["v"], cache["v"][:, slot : slot + 1], jnp.asarray(pages, jnp.int32), s
+        )
+        tables.append(pages)
+    tables = jnp.asarray(tables, jnp.int32)
+
+    # Step both implementations for a few tokens.
+    tok = jnp.argmax(dsv2.logits_last(params, hidden), axis=-1).astype(jnp.int32)
+    pos = jnp.full((b,), s, jnp.int32)
+    for step in range(4):
+        emb = jnp.take(params["embed"], tok, axis=0)[:, None, :]
+        h_ref, cache = dsv2.lm_decode_step_ragged(params, cfg, emb, cache, pos)
+        h_paged, pool = paged_kv.lm_decode_step_paged(
+            params, cfg, emb, pool, tables, pos, use_pallas=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_paged), np.asarray(h_ref), rtol=2e-4, atol=2e-4, err_msg=str(step)
+        )
+        logits = dsv2.logits_last(params, h_ref)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pos = pos + 1
