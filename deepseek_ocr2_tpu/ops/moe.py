@@ -69,17 +69,18 @@ def moe_ffn_prefill(
 ) -> jnp.ndarray:
     """Prefill MoE FFN. Returns [N, H] in x dtype.
 
-    Default is dense all-expert dispatch (`moe_ffn_dense`): measured on v5e,
-    sort+`ragged_dot` inside the layer `lax.scan` runs ~7x slower end-to-end
-    (71 ms vs 9.4 ms per 262-token prefill) despite doing 10.7x fewer FLOPs —
-    the MXU eats the dense compute while the sort/gather path stalls.
-    Summation order over experts (ascending id) matches HF's `moe_infer`
-    scatter-add. Set DEEPSEEK_MOE_PREFILL=ragged to use the grouped-GEMM
-    path (useful at long sequence lengths where the FLOP ratio wins).
+    Shape-adaptive dispatch, from v5e measurements inside the layer scan:
+    dense all-expert wins below ~700 tokens (0.87 vs 1.80 ms/layer at N=256 —
+    the MXU eats the 10.7x extra FLOPs while sort/gather overheads dominate
+    the grouped path), the sort+`ragged_dot` grouped GEMM wins above it
+    (3.04 vs 6.77 ms/layer at N=2048, where dense is FLOP-bound). Both are
+    exact; dense sums experts in ascending id order matching HF `moe_infer`.
+    Overrides: DEEPSEEK_MOE_PREFILL=ragged|dense.
     """
     import os
 
-    if os.environ.get("DEEPSEEK_MOE_PREFILL") == "ragged":
+    mode = os.environ.get("DEEPSEEK_MOE_PREFILL")
+    if mode == "ragged" or (mode is None and x_flat.shape[0] > 512):
         return moe_ffn_ragged(x_flat, experts, weights, idx)
     return moe_ffn_dense(x_flat, experts, weights, idx)
 
