@@ -1,0 +1,53 @@
+"""Group-batched engine (OCR2Engine): grouping by crop grid, parity with the
+single-page pipeline."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from deepseek_ocr2_tpu.configs import tiny_ocr2_config
+from deepseek_ocr2_tpu.models import deepseek_ocr2 as ocr2
+from deepseek_ocr2_tpu.runtime.engine import OCR2Engine
+from deepseek_ocr2_tpu.runtime.pipeline import OCR2Pipeline
+
+import reference_torch_vision as refv
+
+
+def _tiny_tokenizer():
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {"<unk>": 2, "Free": 10, "OCR.": 11}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    return tok
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = dataclasses.replace(tiny_ocr2_config(), image_token_id=500)
+    flat = refv.random_ocr2_flat(cfg, seed=41)
+    params, report = ocr2.params_from_flat(flat, cfg)
+    report.raise_on_errors()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return OCR2Pipeline(params, cfg, _tiny_tokenizer(), kv_dtype="float32", act_dtype="float32")
+
+
+def test_engine_groups_mixed_ratios(pipe):
+    rng = np.random.default_rng(5)
+    # Two aspect groups: wide (2x1 tiles) and square no-crop-sized.
+    pages = [
+        Image.fromarray(rng.integers(0, 256, (300, 500, 3), np.uint8)),
+        Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8)),
+        Image.fromarray(rng.integers(0, 256, (310, 490, 3), np.uint8)),
+    ]
+    singles = [pipe.generate_ocr(p, max_new_tokens=5, ngram_size=2) for p in pages]
+
+    engine = OCR2Engine(pipe, batch_size=4)
+    results = engine.run(pages, max_new_tokens=5, ngram_size=2)
+    for i, (s, b) in enumerate(zip(singles, results)):
+        assert b.token_ids == s.token_ids, i
+        assert b.text == s.text
