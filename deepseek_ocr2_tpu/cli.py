@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--auto-rotate", action="store_true")
     sp.add_argument("--crop-image-size", type=int, default=768)
     sp.add_argument("--no-repeat-ngram-size", type=int, default=20)
+    sp.add_argument(
+        "--profile-dir",
+        default=None,
+        help="write a jax.profiler trace of the run to this directory",
+    )
     sp.add_argument("--vision-dtype", type=_dtype_arg, default="float32")
     sp.add_argument("--sam-dtype", type=_dtype_arg, default=None)
     sp.add_argument("--qwen2-dtype", type=_dtype_arg, default=None)
@@ -117,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
 def _select_backend(backend: str) -> None:
     if backend == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Persistent compile cache: repeat invocations skip XLA recompilation.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "deepseek_ocr2_tpu", "jax"),
+    )
 
 
 def cmd_inspect(args) -> int:
@@ -274,17 +284,20 @@ def cmd_generate_text(args) -> int:
 
 
 def cmd_generate_ocr(args) -> int:
+    from .utils.profiling import device_trace
+
     pipe, cfg = _load_ocr_pipeline(args)
-    result = pipe.generate_ocr(
-        args.image,
-        prompt=args.prompt,
-        max_new_tokens=args.max_new_tokens,
-        no_crop=args.no_crop,
-        rotate=int(args.rotate),
-        auto_rotate=args.auto_rotate,
-        ngram_size=args.no_repeat_ngram_size,
-        eos_token_id=args.eos_token_id,
-    )
+    with device_trace(args.profile_dir):
+        result = pipe.generate_ocr(
+            args.image,
+            prompt=args.prompt,
+            max_new_tokens=args.max_new_tokens,
+            no_crop=args.no_crop,
+            rotate=int(args.rotate),
+            auto_rotate=args.auto_rotate,
+            ngram_size=args.no_repeat_ngram_size,
+            eos_token_id=args.eos_token_id,
+        )
     print(result.text)
     print(
         f"[prefill {result.prefill_seconds * 1e3:.0f} ms, "

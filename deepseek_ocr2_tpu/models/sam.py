@@ -20,7 +20,7 @@ Output: [B, 896, S/64, S/64] feature maps (16x16 for 1024 inputs, 12x12 for
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

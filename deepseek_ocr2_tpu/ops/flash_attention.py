@@ -21,7 +21,6 @@ mask constant), key padding excluded with -inf, softmax f32, PV f32.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

@@ -14,8 +14,6 @@ invalid keys masked to -inf (padding contributes exactly zero).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

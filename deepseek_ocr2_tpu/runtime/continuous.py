@@ -16,16 +16,15 @@ Device/host split:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..configs import DeepseekV2Config, OCR2Config
+from ..configs import DeepseekV2Config
 from ..models import deepseek_v2 as dsv2
 from ..ops.sampling import greedy_pick, ngram_ban_mask
 from ..utils.tokenizer import decode_output, tokenize_with_image

@@ -15,17 +15,15 @@ continuous batching land on top of the same jitted pieces.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from collections import defaultdict
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..configs import OCR2Config
 from ..models import deepseek_ocr2 as ocr2
 from ..runtime.pipeline import GenerationResult, OCR2Pipeline
 from ..utils.tokenizer import decode_output, tokenize_with_image

@@ -21,15 +21,7 @@ from PIL import Image
 
 from ..configs import OCR2Config
 from ..models import deepseek_ocr2 as ocr2
-from ..models import deepseek_v2 as dsv2
-from ..preprocess import (
-    auto_rotate_choice,
-    dynamic_preprocess,
-    images_to_nchw,
-    pad_to_square,
-    rotate_image,
-    should_crop,
-)
+from ..preprocess import auto_rotate_choice, rotate_image, should_crop
 from ..utils.debug import dbg_print, dbg_stats, enabled
 from ..utils.tokenizer import decode_output, tokenize_text, tokenize_with_image
 from .generate import greedy_generate
