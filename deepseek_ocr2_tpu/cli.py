@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--eos-token-id", type=int, default=1)
         sp.add_argument("--kv-cache", type=_dtype_arg, default="float32")
         sp.add_argument("--trim-memory", action="store_true")
+        sp.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
+        sp.add_argument("--top-k", type=int, default=0)
+        sp.add_argument("--top-p", type=float, default=1.0)
+        sp.add_argument("--seed", type=int, default=0)
 
     sp = sub.add_parser("generate-text", help="Text-only generation (LM backbone)")
     common_gen(sp, ocr=False)
@@ -117,6 +121,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--capacity", type=int, default=2048, help="KV slot capacity (continuous)")
     return p
+
+
+def _sampling_args(args):
+    t = getattr(args, "temperature", 0.0)
+    if t < 0:
+        raise SystemExit("error: --temperature must be >= 0 (0 = greedy)")
+    if not 0.0 < getattr(args, "top_p", 1.0) <= 1.0:
+        raise SystemExit("error: --top-p must be in (0, 1]")
+    if t == 0.0:
+        return None
+    return dict(
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        seed=args.seed,
+    )
 
 
 def _select_backend(backend: str) -> None:
@@ -273,7 +293,10 @@ def cmd_generate_text(args) -> int:
         {"lm": params}, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act_dtype
     )
     result = pipe.generate_text(
-        args.prompt, max_new_tokens=args.max_new_tokens, eos_token_id=args.eos_token_id
+        args.prompt,
+        max_new_tokens=args.max_new_tokens,
+        eos_token_id=args.eos_token_id,
+        sampling=_sampling_args(args),
     )
     print(result.text)
     print(
@@ -297,6 +320,7 @@ def cmd_generate_ocr(args) -> int:
             auto_rotate=args.auto_rotate,
             ngram_size=args.no_repeat_ngram_size,
             eos_token_id=args.eos_token_id,
+            sampling=_sampling_args(args),
         )
     print(result.text)
     print(

@@ -68,3 +68,51 @@ def greedy_pick(logits: jnp.ndarray, ban_mask: jnp.ndarray | None = None) -> jnp
     if ban_mask is not None:
         l32 = jnp.where(ban_mask, neg, l32)
     return jnp.argmax(l32, axis=-1).astype(jnp.int32)
+
+
+def sample_pick(
+    logits: jnp.ndarray,  # [V]
+    key,
+    ban_mask: jnp.ndarray | None = None,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    nucleus_candidates: int = 1024,
+) -> jnp.ndarray:
+    """On-device stochastic sampling (beyond-reference; the reference is
+    greedy-only).
+
+    - temperature == 0 -> greedy (exact `greedy_pick` semantics);
+    - top_k > 0 -> sample within the k most likely tokens;
+    - top_p < 1 -> nucleus sampling over the `nucleus_candidates` most likely
+      tokens (covers any practical nucleus; documented approximation);
+    - otherwise full-vocab categorical via Gumbel-max (no sort).
+    """
+    import jax
+
+    if temperature == 0.0:
+        return greedy_pick(logits, ban_mask)
+
+    l32 = logits.astype(jnp.float32)
+    neg = jnp.float32(-jnp.inf)
+    l32 = jnp.where(jnp.isnan(l32), neg, l32)
+    if ban_mask is not None:
+        l32 = jnp.where(ban_mask, neg, l32)
+    l32 = l32 / jnp.float32(temperature)
+
+    if top_k <= 0 and top_p >= 1.0:
+        return jax.random.categorical(key, l32).astype(jnp.int32)
+
+    k = top_k if top_k > 0 else nucleus_candidates
+    k = min(k, l32.shape[-1])
+    vals, idx = jax.lax.top_k(l32, k)  # sorted descending
+    if top_p < 1.0:
+        probs = jax.nn.softmax(vals)
+        cum = jnp.cumsum(probs)
+        # Keep tokens whose preceding cumulative mass is < top_p (always
+        # keeps the most likely token).
+        keep = (cum - probs) < jnp.float32(top_p)
+        vals = jnp.where(keep, vals, neg)
+    choice = jax.random.categorical(key, vals)
+    return idx[choice].astype(jnp.int32)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..configs import DeepseekV2Config
 from ..models.deepseek_v2 import lm_forward, logits_last
-from ..ops.sampling import greedy_pick, ngram_ban_mask
+from ..ops.sampling import greedy_pick, ngram_ban_mask, sample_pick
 from .kv_cache import make_kv_cache
 
 
@@ -35,6 +35,9 @@ from .kv_cache import make_kv_cache
         "eos_id",
         "capacity",
         "kv_dtype",
+        "temperature",
+        "top_k",
+        "top_p",
     ),
 )
 def greedy_generate(
@@ -48,12 +51,17 @@ def greedy_generate(
     eos_id: int = 1,
     capacity: int = 2048,
     kv_dtype: str = "bfloat16",
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    seed: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy decode. Returns (tokens [B, S+max_new] i32, n_generated [B] i32).
+    """Generate. Returns (tokens [B, S+max_new] i32, n_generated [B] i32).
 
     `tokens[b, :S+n_generated[b]]` = prompt + generated ids (EOS included when
     hit, matching the reference which pushes EOS before breaking,
-    main.rs:1600-1609).
+    main.rs:1600-1609). Default is greedy; temperature > 0 enables on-device
+    stochastic sampling (top-k / nucleus), a beyond-reference capability.
     """
     b, s, h = inputs_embeds.shape
     assert s + max_new_tokens <= capacity, "capacity too small"
@@ -79,38 +87,48 @@ def greedy_generate(
 
     ban_fn = jax.vmap(ngram_ban_mask, in_axes=(0, None, None, None))
 
-    def pick(logits, tokens, cur_len):
+    def pick(logits, tokens, cur_len, key):
         ban = ban_fn(tokens, cur_len, ngram_size, vocab)  # [B, V]
-        return jax.vmap(greedy_pick)(logits, ban)  # [B]
+        if temperature == 0.0:
+            return jax.vmap(greedy_pick)(logits, ban)  # [B]
+        keys = jax.random.split(key, b)
+        return jax.vmap(
+            lambda l, k, m: sample_pick(
+                l, k, m, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+        )(logits, keys, ban)
 
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
     cur_len = jnp.int32(s)
-    tok = pick(logits, tokens, cur_len)  # [B]
+    tok = pick(logits, tokens, cur_len, sub)  # [B]
     done = tok == eos_id
     tokens = tokens.at[:, s].set(tok)
     cur_len = cur_len + 1
     n_gen = jnp.ones((b,), jnp.int32)
 
     def cond(state):
-        cache, tokens, cur_len, tok, done, n_gen, steps = state
+        cache, tokens, cur_len, tok, done, n_gen, steps, key = state
         return jnp.logical_and(steps < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        cache, tokens, cur_len, tok, done, n_gen, steps = state
+        cache, tokens, cur_len, tok, done, n_gen, steps, key = state
         emb = jnp.take(params["embed"], tok, axis=0).astype(inputs_embeds.dtype)
         emb = emb.reshape(b, 1, h)
         hidden, cache = lm_forward(
             params, cfg, emb, cache, pos=cur_len - 1, is_prefill=False
         )
         logits = logits_last(params, hidden)
-        nxt = pick(logits, tokens, cur_len)
+        key, sub = jax.random.split(key)
+        nxt = pick(logits, tokens, cur_len, sub)
         nxt = jnp.where(done, tok, nxt)  # freeze finished rows
         row = jnp.arange(b)
         old = tokens[row, cur_len]
         tokens = tokens.at[row, cur_len].set(jnp.where(done, old, nxt))
         n_gen = jnp.where(done, n_gen, n_gen + 1)
         done = done | (nxt == eos_id)
-        return (cache, tokens, cur_len + 1, nxt, done, n_gen, steps + 1)
+        return (cache, tokens, cur_len + 1, nxt, done, n_gen, steps + 1, key)
 
-    state = (cache, tokens, cur_len, tok, done, n_gen, jnp.int32(1))
-    _, tokens, _, _, _, n_gen, _ = jax.lax.while_loop(cond, body, state)
+    state = (cache, tokens, cur_len, tok, done, n_gen, jnp.int32(1), key)
+    _, tokens, _, _, _, n_gen, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens, n_gen

@@ -78,6 +78,7 @@ class OCR2Pipeline:
         max_new_tokens: int = 128,
         eos_token_id: Optional[int] = None,
         ngram_size: int = 0,
+        sampling: Optional[dict] = None,
     ) -> GenerationResult:
         cfg = self.cfg
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
@@ -86,7 +87,7 @@ class OCR2Pipeline:
         embeds = jnp.take(self.params["lm"]["embed"], ids_j, axis=0)[None].astype(
             jnp.dtype(self.act_dtype)
         )
-        return self._generate(embeds, ids, max_new_tokens, ngram_size, eos)
+        return self._generate(embeds, ids, max_new_tokens, ngram_size, eos, sampling)
 
     # -- OCR ----------------------------------------------------------------
 
@@ -135,6 +136,7 @@ class OCR2Pipeline:
         auto_rotate: bool = False,
         ngram_size: int = 20,
         eos_token_id: Optional[int] = None,
+        sampling: Optional[dict] = None,
     ) -> GenerationResult:
         cfg = self.cfg
         eos = cfg.eos_token_id if eos_token_id is None else eos_token_id
@@ -152,7 +154,7 @@ class OCR2Pipeline:
             self.build_ocr_embeds(ids, image_base, patches, image_start)
         )
         vision_seconds = time.perf_counter() - t0
-        result = self._generate(embeds, ids, max_new_tokens, ngram_size, eos)
+        result = self._generate(embeds, ids, max_new_tokens, ngram_size, eos, sampling)
         result.prefill_seconds += vision_seconds
         return result
 
@@ -214,7 +216,9 @@ class OCR2Pipeline:
 
     # -- shared decode ------------------------------------------------------
 
-    def _generate(self, embeds, ids, max_new_tokens, ngram_size, eos) -> GenerationResult:
+    def _generate(
+        self, embeds, ids, max_new_tokens, ngram_size, eos, sampling=None
+    ) -> GenerationResult:
         cfg = self.cfg
         prompt_len = len(ids)
         capacity = bucket_capacity(prompt_len + max_new_tokens)
@@ -243,6 +247,7 @@ class OCR2Pipeline:
             eos_id=eos,
             capacity=capacity,
             kv_dtype=self.kv_dtype,
+            **(sampling or {}),
         )
         tokens = jax.block_until_ready(tokens)
         t2 = time.perf_counter()
