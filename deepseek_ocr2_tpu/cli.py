@@ -333,7 +333,10 @@ def cmd_generate_ocr(args) -> int:
 
 def cmd_serve(args) -> int:
     pipe, cfg = _load_ocr_pipeline(args)
+    sampling = _sampling_args(args)
     if args.continuous:
+        if sampling:
+            raise SystemExit("error: --continuous currently supports greedy decoding only")
         from .runtime.continuous import ContinuousOCREngine
 
         engine = ContinuousOCREngine(
@@ -344,12 +347,14 @@ def cmd_serve(args) -> int:
 
         engine = OCR2Engine(pipe, batch_size=args.batch_size)
     t0 = time.perf_counter()
-    results = engine.run(
-        args.images,
+    run_kwargs = dict(
         max_new_tokens=args.max_new_tokens,
         no_crop=args.no_crop,
         ngram_size=args.no_repeat_ngram_size,
     )
+    if not args.continuous:
+        run_kwargs["sampling"] = sampling
+    results = engine.run(args.images, **run_kwargs)
     dt = time.perf_counter() - t0
     for path, res in zip(args.images, results):
         print(f"=== {path} ===")

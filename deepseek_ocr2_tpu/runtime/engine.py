@@ -54,6 +54,7 @@ class OCR2Engine:
         no_crop: bool = False,
         ngram_size: int = 20,
         auto_rotate: bool = False,
+        sampling: Optional[dict] = None,
     ) -> List[GenerationResult]:
         cfg = self.pipe.cfg
         prompt = prompt or cfg.default_ocr_prompt
@@ -76,11 +77,13 @@ class OCR2Engine:
             for chunk_start in range(0, len(items), self.batch_size):
                 chunk = items[chunk_start : chunk_start + self.batch_size]
                 self._run_chunk(
-                    chunk, ids, image_start, max_new_tokens, ngram_size, results
+                    chunk, ids, image_start, max_new_tokens, ngram_size, results, sampling
                 )
         return results  # type: ignore[return-value]
 
-    def _run_chunk(self, chunk, ids, image_start, max_new_tokens, ngram_size, results):
+    def _run_chunk(
+        self, chunk, ids, image_start, max_new_tokens, ngram_size, results, sampling=None
+    ):
         cfg = self.pipe.cfg
         b = len(chunk)
         bases = np.stack([base for _, base, _ in chunk])  # [B, 3, S, S]
@@ -112,6 +115,7 @@ class OCR2Engine:
             eos_id=cfg.eos_token_id,
             capacity=capacity,
             kv_dtype=self.pipe.kv_dtype,
+            **(sampling or {}),
         )
         tokens = np.asarray(jax.block_until_ready(tokens))
         n_gen = np.asarray(n_gen)
