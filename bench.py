@@ -159,6 +159,37 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     first_token_ms = float(np.median(lat)) * 1e3
 
+    # Weight-only int8 MoE decode (fused Pallas dequant kernel).
+    from deepseek_ocr2_tpu.models.deepseek_v2 import quantize_lm_params
+
+    lm_q8 = quantize_lm_params(params["lm"])
+
+    def decode_run_q8(max_new, cap):
+        embeds = vision_prefill_chunk(params, ids_b[:1], images[:1])
+        tokens, _ = greedy_generate(
+            lm_q8,
+            cfg.lm,
+            embeds,
+            ids_b[:1],
+            max_new_tokens=max_new,
+            ngram_size=NGRAM,
+            eos_id=cfg.eos_token_id,
+            capacity=cap,
+            kv_dtype="bfloat16",
+        )
+        return np.asarray(tokens[:, -1])
+
+    decode_run_q8(8, cap2)
+    decode_run_q8(136, cap2)
+    t0 = time.perf_counter()
+    decode_run_q8(8, cap2)
+    t_short_q = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_run_q8(136, cap2)
+    t_long_q = time.perf_counter() - t0
+    decode_tps_q8 = 128.0 / max(t_long_q - t_short_q, 1e-9)
+    del lm_q8
+
     # Crop-mode config (#3): 2x1 dynamic tiling + global view, batch 4.
     crop_b = 4
     n_img_crop = cfg.image_token_count((2, 1))  # 257 + 288
@@ -212,6 +243,7 @@ def main() -> None:
                 "unit": "pages/s (no-crop, 32 new tokens, batch 32)",
                 "vs_baseline": round(pages_per_sec / target_per_chip, 3),
                 "decode_tok_per_sec": round(decode_tps, 1),
+                "decode_tok_per_sec_int8": round(decode_tps_q8, 1),
                 "first_token_ms": round(first_token_ms, 1),
                 "crop_pages_per_sec": round(crop_pages_per_sec, 3),
                 "device": str(jax.devices()[0]),

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--eos-token-id", type=int, default=1)
         sp.add_argument("--kv-cache", type=_dtype_arg, default="float32")
         sp.add_argument("--trim-memory", action="store_true")
+        sp.add_argument(
+            "--moe-int8",
+            action="store_true",
+            help="weight-only int8 routed experts (fused Pallas decode kernel)",
+        )
         sp.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
         sp.add_argument("--top-k", type=int, default=0)
         sp.add_argument("--top-p", type=float, default=1.0)
@@ -240,6 +245,13 @@ def _load_ocr_pipeline(args):
     if args.trim_memory:
         _trim_memory(args.weights)
 
+    if getattr(args, "moe_int8", False):
+        from .models.deepseek_v2 import quantize_lm_params
+
+        params = dict(params)
+        params["lm"] = quantize_lm_params(params["lm"])
+        print("moe-int8: routed experts quantized to int8", file=sys.stderr)
+
     tokenizer = load_tokenizer(args.tokenizer)
     act = "float32" if vision_default == "float32" else "bfloat16"
     return OCR2Pipeline(params, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act), cfg
@@ -285,6 +297,12 @@ def cmd_generate_text(args) -> int:
     del flat
     if args.trim_memory:
         _trim_memory(args.weights)
+
+    if getattr(args, "moe_int8", False):
+        from .models.deepseek_v2 import quantize_lm_params
+
+        params = quantize_lm_params(params)
+        print("moe-int8: routed experts quantized to int8", file=sys.stderr)
 
     tokenizer = load_tokenizer(args.tokenizer)
     cfg = OCR2Config(lm=lm_cfg, eos_token_id=args.eos_token_id)

@@ -320,6 +320,36 @@ def _index_tree(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+def quantize_lm_params(params: Params) -> Params:
+    """Weight-only int8 quantization of the routed experts (opt-in).
+
+    Replaces the stacked `layers_moe.experts` with a per-layer list of int8
+    tensors + scales under `moe_q8`. Per-layer (unstacked) storage matters:
+    the fused Pallas decode kernel is an opaque custom call, so a scan-sliced
+    stacked operand would be materialized (copying the whole layer's experts
+    every step) — separate buffers stream exactly the selected experts.
+    """
+    from ..ops.moe_q8 import quantize_experts
+
+    new = dict(params)
+    moe = dict(params["layers_moe"])
+    experts = moe.pop("experts")
+    n_layers = experts["gate"].shape[0]
+    new["layers_moe"] = moe
+    new["moe_q8"] = [
+        quantize_experts({k: experts[k][j] for k in ("gate", "up", "down")})
+        for j in range(n_layers)
+    ]
+    return new
+
+
+def _dequantize_experts(q8, dtype):
+    return {
+        name: (q8[f"{name}_q8"].astype(jnp.float32) * q8[f"{name}_scale"]).astype(dtype)
+        for name in ("gate", "up", "down")
+    }
+
+
 def lm_forward(
     params: Params,
     cfg: DeepseekV2Config,
@@ -331,8 +361,11 @@ def lm_forward(
     """Run the decoder stack. Returns (hidden [B,S,H], updated cache).
 
     Covers both prefill (S>1, causal mask, pos=0) and decode (S==1,
-    attends over the cache up to `pos`).
+    attends over the cache up to `pos`). Params produced by
+    `quantize_lm_params` take the unrolled int8 MoE path.
     """
+    if "moe_q8" in params:
+        return _lm_forward_q8(params, cfg, embeds, cache, pos, is_prefill)
     cos, sin = _rope_consts(cfg)
     x = embeds
     ld = cfg.first_k_dense_replace
@@ -505,6 +538,74 @@ def lm_decode_step_ragged(
         "k": jnp.concatenate([jnp.stack(new_k_dense), moe_k], axis=0),
         "v": jnp.concatenate([jnp.stack(new_v_dense), moe_v], axis=0),
     }
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def _lm_forward_q8(
+    params: Params,
+    cfg: DeepseekV2Config,
+    embeds: jnp.ndarray,
+    cache,
+    pos,
+    is_prefill: bool,
+) -> Tuple[jnp.ndarray, Any]:
+    """Unrolled layer loop with int8 routed experts (see quantize_lm_params)."""
+    from ..ops.flash_attention import pallas_enabled
+    from ..ops.moe_q8 import moe_ffn_decode_q8
+
+    cos, sin = _rope_consts(cfg)
+    x = embeds
+    ld = cfg.first_k_dense_replace
+    b, s, h = x.shape
+
+    new_k, new_v = [], []
+    for i in range(ld):
+        layer = _index_tree(params["layers_dense"], i)
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention(
+            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos, is_prefill
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        mlp_out = swiglu(
+            xn.reshape(b * s, h), layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
+        ).reshape(b, s, h)
+        x = res + mlp_out
+        new_k.append(ck)
+        new_v.append(cv)
+
+    for j, q8 in enumerate(params["moe_q8"]):
+        li = ld + j
+        layer = _index_tree(params["layers_moe"], j)
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention(
+            xn, layer["attn"], cfg, cos, sin, cache["k"][li], cache["v"][li], pos, is_prefill
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x_flat = xn.reshape(b * s, h)
+        weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+        if not is_prefill and pallas_enabled():
+            routed = moe_ffn_decode_q8(x_flat, q8, weights, idx)
+        else:
+            deq = _dequantize_experts(q8, x_flat.dtype)
+            if is_prefill:
+                routed = moe_ffn_prefill(x_flat, deq, weights, idx)
+            else:
+                routed = moe_ffn_decode(x_flat, deq, weights, idx)
+        shared = swiglu(
+            x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
+        )
+        x = res + (routed + shared).reshape(b, s, h)
+        new_k.append(ck)
+        new_v.append(cv)
+
+    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return hidden, new_cache
 

@@ -1,0 +1,178 @@
+"""Weight-only int8 MoE decode — fused Pallas dequant + SwiGLU kernel.
+
+Decode is bandwidth-bound on expert weights (~41 MB/layer at bf16). Plain XLA
+`convert(int8) -> dot` recovers almost nothing (~9%: the dequant serializes
+with the matmul). This kernel streams each selected expert's int8 gate/up/down
+blocks from HBM via scalar-prefetched expert ids — Pallas double-buffers
+consecutive grid steps, so the next expert's DMA overlaps the current
+expert's dequant+matmul — and computes the whole SwiGLU in VMEM.
+
+Quantization: symmetric per-output-channel int8 (scale = absmax/127 over the
+input dim). Opt-in (quantize_experts); greedy parity tests always run the
+bf16 path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_per_col(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., In, Out] -> (int8 same shape, f32 scales [..., 1, Out])."""
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_experts(experts: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Quantize a (possibly layer-stacked) expert dict for the q8 decode path.
+
+    Input keys gate/up: [..., E, H, I], down: [..., E, I, H]. Output keys:
+    {name}_q8 (int8) and {name}_scale (f32, [..., E, 1, Out]).
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    for name in ("gate", "up", "down"):
+        q, s = quantize_per_col(experts[name])
+        out[f"{name}_q8"] = q
+        out[f"{name}_scale"] = s
+    return out
+
+
+def _q8_kernel(
+    # scalar prefetch
+    idx_ref,  # [B, K] i32 selected expert ids
+    wts_ref,  # [B, K] f32 combine weights
+    # inputs
+    x_ref,  # [B, H] (whole batch; row selected in kernel)
+    g_ref,  # [1, H, I] int8
+    gs_ref,  # [1, 1, I] f32
+    u_ref,  # [1, H, I] int8
+    us_ref,  # [1, 1, I] f32
+    d_ref,  # [1, I, H] int8
+    ds_ref,  # [1, 1, H] f32
+    # output
+    o_ref,  # [B, H] f32
+):
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when((k == 0) & (b == 0))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # Row-select via masking (Mosaic cannot prove dynamic sublane alignment).
+    n_rows = x_ref.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+    row_mask = row_ids == b
+    x = jnp.sum(
+        jnp.where(row_mask, x_ref[:].astype(jnp.float32), 0.0), axis=0, keepdims=True
+    ).astype(x_ref.dtype)  # [1, H]
+
+    # Pin dot precision: the global "highest" setting (used by the CPU parity
+    # tests) lowers bf16 dots to multi-pass forms Mosaic rejects for
+    # int8-converted operands.
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    g = g_ref[0].astype(x.dtype)  # dequant-to-compute dtype in VMEM
+    u = u_ref[0].astype(x.dtype)
+    gate = dot(x, g) * gs_ref[0]
+    up = dot(x, u) * us_ref[0]
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)  # [1, I]
+    d = d_ref[0].astype(x.dtype)
+    y = dot(act, d) * ds_ref[0]  # [1, H]
+    o_ref[:] = o_ref[:] + jnp.where(row_mask, y * wts_ref[b, k], 0.0)
+
+
+def moe_ffn_decode_q8(
+    x_flat: jnp.ndarray,  # [B, H] (bf16)
+    experts_q8: Dict[str, jnp.ndarray],  # gate_q8 [E,H,I] i8, gate_scale [E,1,I] f32, ...
+    weights: jnp.ndarray,  # [B, K] f32
+    idx: jnp.ndarray,  # [B, K] i32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused int8 MoE decode FFN. Returns [B, H] in x dtype."""
+    b, h = x_flat.shape
+    k = idx.shape[1]
+    e, _, i = experts_q8["gate_q8"].shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, k),
+        in_specs=[
+            pl.BlockSpec((b, h), lambda bi, ki, idx, wts: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, h, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, h, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, i, h), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, h), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, h), lambda bi, ki, idx, wts: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _q8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h), jnp.float32),
+        interpret=interpret,
+    )(
+        idx.astype(jnp.int32),
+        weights.astype(jnp.float32),
+        x_flat,
+        experts_q8["gate_q8"],
+        experts_q8["gate_scale"],
+        experts_q8["up_q8"],
+        experts_q8["up_scale"],
+        experts_q8["down_q8"],
+        experts_q8["down_scale"],
+    )
+    return out.astype(x_flat.dtype)
+
+
+def moe_ffn_decode_q8_xla(x_flat, experts_q8, weights, idx):
+    """XLA reference for the q8 path (same math: dequant to x dtype, SwiGLU)."""
+    b, h = x_flat.shape
+    k = idx.shape[1]
+    acc = jnp.zeros((b, h), jnp.float32)
+    i = experts_q8["gate_q8"].shape[2]
+    for t in range(b):
+        x_t = x_flat[t : t + 1]
+        for j in range(k):
+            ex = idx[t, j]
+            g = jax.lax.dynamic_slice(experts_q8["gate_q8"], (ex, 0, 0), (1, h, i))[0]
+            gs = jax.lax.dynamic_slice(experts_q8["gate_scale"], (ex, 0, 0), (1, 1, i))[0]
+            u = jax.lax.dynamic_slice(experts_q8["up_q8"], (ex, 0, 0), (1, h, i))[0]
+            us = jax.lax.dynamic_slice(experts_q8["up_scale"], (ex, 0, 0), (1, 1, i))[0]
+            d = jax.lax.dynamic_slice(experts_q8["down_q8"], (ex, 0, 0), (1, i, h))[0]
+            ds = jax.lax.dynamic_slice(experts_q8["down_scale"], (ex, 0, 0), (1, 1, h))[0]
+            gate = (x_t @ g.astype(x_flat.dtype)).astype(jnp.float32) * gs
+            up = (x_t @ u.astype(x_flat.dtype)).astype(jnp.float32) * us
+            act = (jax.nn.silu(gate) * up).astype(x_flat.dtype)
+            y = (act @ d.astype(x_flat.dtype)).astype(jnp.float32) * ds
+            acc = acc.at[t].add(y[0] * weights[t, j])
+    return acc.astype(x_flat.dtype)
