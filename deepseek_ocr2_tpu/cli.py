@@ -355,6 +355,11 @@ def cmd_serve(args) -> int:
     if args.continuous:
         if sampling:
             raise SystemExit("error: --continuous currently supports greedy decoding only")
+        if getattr(args, "moe_int8", False):
+            raise SystemExit(
+                "error: --continuous does not support --moe-int8 yet "
+                "(ragged decode path has no int8 branch)"
+            )
         from .runtime.continuous import ContinuousOCREngine
 
         engine = ContinuousOCREngine(

@@ -115,4 +115,9 @@ def sample_pick(
         keep = (cum - probs) < jnp.float32(top_p)
         vals = jnp.where(keep, vals, neg)
     choice = jax.random.categorical(key, vals)
-    return idx[choice].astype(jnp.int32)
+    # If the ban mask wiped out every top-k candidate, categorical over an
+    # all--inf row is arbitrary; fall back to greedy over the full banned-
+    # masked vocab (the greedy path's behavior).
+    any_ok = jnp.isfinite(vals).any()
+    fallback = jnp.argmax(l32, axis=-1).astype(jnp.int32)
+    return jnp.where(any_ok, idx[choice].astype(jnp.int32), fallback)

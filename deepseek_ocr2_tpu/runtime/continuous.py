@@ -68,8 +68,13 @@ def admit_prefill(
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def insert_slot(cache, k_new, v_new, slot, tokens, slot_tokens, cur_len, limit,
-                state_cur_lens, state_limits, state_done):
-    """Copy an admitted page's KV + token buffer into shared state at `slot`."""
+                done0, state_cur_lens, state_limits, state_done):
+    """Copy an admitted page's KV + token buffer into shared state at `slot`.
+
+    `done0` freezes slots whose first generated token already hits the stop
+    condition (EOS on the prefill token, or max_new_tokens == 1), matching
+    greedy_generate's post-prefill done check.
+    """
     cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], k_new, (0, slot, 0, 0, 0)
@@ -81,7 +86,7 @@ def insert_slot(cache, k_new, v_new, slot, tokens, slot_tokens, cur_len, limit,
     tokens = jax.lax.dynamic_update_slice(tokens, slot_tokens[None], (slot, 0))
     state_cur_lens = state_cur_lens.at[slot].set(cur_len)
     state_limits = state_limits.at[slot].set(limit)
-    state_done = state_done.at[slot].set(False)
+    state_done = state_done.at[slot].set(done0)
     return cache, tokens, state_cur_lens, state_limits, state_done
 
 
@@ -209,6 +214,7 @@ class ContinuousOCREngine:
             slot_tokens = jnp.zeros((cap,), jnp.int32)
             slot_tokens = jax.lax.dynamic_update_slice(slot_tokens, ids_j, (0,))
             slot_tokens = slot_tokens.at[s].set(first)
+            done0 = jnp.logical_or(first == eos, max_new_tokens <= 1)
             cache, tokens, cur_lens, limits, done = insert_slot(
                 cache,
                 k_new,
@@ -218,6 +224,7 @@ class ContinuousOCREngine:
                 slot_tokens,
                 jnp.int32(s + 1),
                 jnp.int32(s + max_new_tokens),
+                done0,
                 cur_lens,
                 limits,
                 done,

@@ -70,15 +70,27 @@ class OCR2Engine:
             groups[ratio].append((idx, base[0], patches))
 
         results: List[Optional[GenerationResult]] = [None] * len(images)
+        chunk_index = 0
         for ratio, items in groups.items():
             ids, mask, image_start = tokenize_with_image(
                 self.pipe.tokenizer, prompt, cfg, ratio
             )
             for chunk_start in range(0, len(items), self.batch_size):
                 chunk = items[chunk_start : chunk_start + self.batch_size]
+                # Distinct PRNG stream per chunk: otherwise every chunk (and
+                # crop-ratio group) reuses step-k randomness, correlating
+                # samples across pages.
+                chunk_sampling = sampling
+                if sampling:
+                    chunk_sampling = {
+                        **sampling,
+                        "seed": sampling.get("seed", 0) + chunk_index,
+                    }
                 self._run_chunk(
-                    chunk, ids, image_start, max_new_tokens, ngram_size, results, sampling
+                    chunk, ids, image_start, max_new_tokens, ngram_size, results,
+                    chunk_sampling,
                 )
+                chunk_index += 1
         return results  # type: ignore[return-value]
 
     def _run_chunk(

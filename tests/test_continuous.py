@@ -74,3 +74,16 @@ def test_continuous_more_pages_than_slots(setup):
     singles = [pipe.generate_ocr(p, max_new_tokens=4, ngram_size=0) for p in pages]
     for s, b in zip(singles, results):
         assert b.token_ids == s.token_ids
+
+
+def test_continuous_max_new_tokens_one(setup):
+    """Regression: slots whose first token hits the stop condition must be
+    frozen at admission (done0), not decoded further by decode_chunk."""
+    cfg, pipe = setup
+    pages = _pages(2)
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    results = engine.run(pages, max_new_tokens=1, ngram_size=0)
+    singles = [pipe.generate_ocr(p, max_new_tokens=1, ngram_size=0) for p in pages]
+    for s, b in zip(singles, results):
+        assert b.new_tokens == 1
+        assert b.token_ids == s.token_ids

@@ -66,3 +66,24 @@ def test_generate_sampling_reproducible_and_greedy_default():
     t_s2, _ = greedy_generate(params, cfg, embeds, ids, temperature=1.0, seed=8, **kw)
     np.testing.assert_array_equal(np.asarray(t_s1), np.asarray(t_s1b))  # same seed
     assert not np.array_equal(np.asarray(t_s1), np.asarray(t_s2))  # diff seed
+
+
+def test_sample_pick_degenerate_ban_cases():
+    """Regression: sample_pick must never emit a banned token, even when the
+    ban mask leaves fewer candidates than top_k (or none at all)."""
+    logits = jnp.asarray([5.0, 4.0, 3.0, 2.0], jnp.float32)
+    # Only one unbanned token, top_k=2: the -inf candidate slot must never win.
+    ban3 = jnp.asarray([True, True, True, False])
+    for s in range(10):
+        tok = int(
+            sample_pick(logits, jax.random.PRNGKey(s), ban3, temperature=1.0, top_k=2)
+        )
+        assert tok == 3
+    # Everything banned: categorical over all--inf is arbitrary; the fix pins
+    # the result to the greedy path's argmax-over-masked behavior (index 0).
+    ban_all = jnp.ones((4,), bool)
+    for s in range(10):
+        tok = int(
+            sample_pick(logits, jax.random.PRNGKey(s), ban_all, temperature=1.0, top_k=2)
+        )
+        assert tok == 0
