@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
             action="store_true",
             help="weight-only int8 routed experts (fused Pallas decode kernel)",
         )
+        sp.add_argument(
+            "--int8",
+            action="store_true",
+            help="weight-only int8 for ALL decode weights (attention, MLPs, "
+            "experts, lm_head); supersedes --moe-int8",
+        )
         sp.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
         sp.add_argument("--top-k", type=int, default=0)
         sp.add_argument("--top-p", type=float, default=1.0)
@@ -126,6 +132,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--capacity", type=int, default=2048, help="KV slot capacity (continuous)")
     return p
+
+
+def _int8_scope(args):
+    if getattr(args, "int8", False):
+        return "full"
+    if getattr(args, "moe_int8", False):
+        return "experts"
+    return None
 
 
 def _sampling_args(args):
@@ -245,12 +259,13 @@ def _load_ocr_pipeline(args):
     if args.trim_memory:
         _trim_memory(args.weights)
 
-    if getattr(args, "moe_int8", False):
+    scope = _int8_scope(args)
+    if scope:
         from .models.deepseek_v2 import quantize_lm_params
 
         params = dict(params)
-        params["lm"] = quantize_lm_params(params["lm"])
-        print("moe-int8: routed experts quantized to int8", file=sys.stderr)
+        params["lm"] = quantize_lm_params(params["lm"], scope=scope)
+        print(f"int8: LM weights quantized (scope={scope})", file=sys.stderr)
 
     tokenizer = load_tokenizer(args.tokenizer)
     act = "float32" if vision_default == "float32" else "bfloat16"
@@ -298,11 +313,12 @@ def cmd_generate_text(args) -> int:
     if args.trim_memory:
         _trim_memory(args.weights)
 
-    if getattr(args, "moe_int8", False):
+    scope = _int8_scope(args)
+    if scope:
         from .models.deepseek_v2 import quantize_lm_params
 
-        params = quantize_lm_params(params)
-        print("moe-int8: routed experts quantized to int8", file=sys.stderr)
+        params = quantize_lm_params(params, scope=scope)
+        print(f"int8: LM weights quantized (scope={scope})", file=sys.stderr)
 
     tokenizer = load_tokenizer(args.tokenizer)
     cfg = OCR2Config(lm=lm_cfg, eos_token_id=args.eos_token_id)
@@ -355,11 +371,6 @@ def cmd_serve(args) -> int:
     if args.continuous:
         if sampling:
             raise SystemExit("error: --continuous currently supports greedy decoding only")
-        if getattr(args, "moe_int8", False):
-            raise SystemExit(
-                "error: --continuous does not support --moe-int8 yet "
-                "(ragged decode path has no int8 branch)"
-            )
         from .runtime.continuous import ContinuousOCREngine
 
         engine = ContinuousOCREngine(

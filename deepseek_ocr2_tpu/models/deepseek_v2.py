@@ -275,9 +275,7 @@ def _attention(
     nh, d = cfg.num_attention_heads, cfg.head_dim
     kv_dtype = cache_k.dtype
 
-    q = (x @ attn["wq"]).reshape(b, s, nh, d).transpose(0, 2, 1, 3)
-    k = (x @ attn["wk"]).reshape(b, s, nh, d).transpose(0, 2, 1, 3)
-    v = (x @ attn["wv"]).reshape(b, s, nh, d).transpose(0, 2, 1, 3)
+    q, k, v = _qkv_proj(x, attn, b, s, nh, d, decode=not is_prefill)
 
     # RoPE + attention math in f32 (reference deepseek_v2.rs:319-324, 456-470).
     q32, k32 = apply_rope(q, k, cos, sin, start=pos)
@@ -313,34 +311,106 @@ def _attention(
         )
 
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h).astype(x.dtype)
-    return ctx @ attn["wo"], cache_k, cache_v
+    return _o_proj(ctx, attn, decode=not is_prefill), cache_k, cache_v
+
+
+def _qkv_proj(x, attn, b, s, nh, d, *, decode):
+    """Q/K/V projections; handles the q8 fused [H, 3H] stream transparently."""
+    if "wqkv" in attn:
+        from ..ops.linear_q8 import qmm
+
+        qkv = qmm(x.reshape(b * s, -1), attn["wqkv"], decode=decode)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q, k, v = x @ attn["wq"], x @ attn["wk"], x @ attn["wv"]
+    to_heads = lambda t: t.reshape(b, s, nh, d).transpose(0, 2, 1, 3)
+    return to_heads(q), to_heads(k), to_heads(v)
+
+
+def _o_proj(ctx, attn, *, decode):
+    """Output projection [B, S, H] -> [B, S, H]; q8-aware."""
+    from ..ops.linear_q8 import is_qlinear, qmm
+
+    if is_qlinear(attn["wo"]):
+        b, s, h = ctx.shape
+        return qmm(ctx.reshape(b * s, h), attn["wo"], decode=decode).reshape(b, s, h)
+    return ctx @ attn["wo"]
 
 
 def _index_tree(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
-def quantize_lm_params(params: Params) -> Params:
-    """Weight-only int8 quantization of the routed experts (opt-in).
+def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
+    """Weight-only int8 quantization (opt-in).
 
-    Replaces the stacked `layers_moe.experts` with a per-layer list of int8
-    tensors + scales under `moe_q8`. Per-layer (unstacked) storage matters:
-    the fused Pallas decode kernel is an opaque custom call, so a scan-sliced
-    stacked operand would be materialized (copying the whole layer's experts
-    every step) — separate buffers stream exactly the selected experts.
+    scope="experts": routed experts only — replaces the stacked
+    `layers_moe.experts` with a per-layer list of int8 tensors + scales under
+    `moe_q8`. Per-layer (unstacked) storage matters: the fused Pallas decode
+    kernel is an opaque custom call, so a scan-sliced stacked operand would be
+    materialized (copying the whole layer's experts every step) — separate
+    buffers stream exactly the selected experts.
+
+    scope="full": additionally quantizes the rest of the decode-step weight
+    bandwidth — attention projections (q/k/v fused into one [H, 3H] stream),
+    shared experts and the dense layer's MLP (gate||up fused), and lm_head —
+    stored per-layer under `q8_layers` / `q8_lm_head`. Routers, norms and the
+    embedding stay in the model dtype (routing is discontinuous: quantizing
+    the gate risks flipping expert selection; the embedding is a gather).
     """
+    from ..ops.linear_q8 import quantize_linear
     from ..ops.moe_q8 import quantize_experts
 
+    assert scope in ("experts", "full"), scope
     new = dict(params)
     moe = dict(params["layers_moe"])
     experts = moe.pop("experts")
-    n_layers = experts["gate"].shape[0]
+    n_moe = experts["gate"].shape[0]
     new["layers_moe"] = moe
     new["moe_q8"] = [
         quantize_experts({k: experts[k][j] for k in ("gate", "up", "down")})
-        for j in range(n_layers)
+        for j in range(n_moe)
     ]
+    if scope == "experts":
+        return new
+
+    def qfuse(*ws):
+        w = jnp.concatenate(ws, axis=-1) if len(ws) > 1 else ws[0]
+        return quantize_linear(w)
+
+    dense = dict(params["layers_dense"])
+    attn_d = dense.pop("attn")
+    mlp_d = dense.pop("mlp")
+    new["layers_dense"] = dense
+    q8_dense = [
+        {
+            "wqkv": qfuse(attn_d["wq"][j], attn_d["wk"][j], attn_d["wv"][j]),
+            "wo": quantize_linear(attn_d["wo"][j]),
+            "gu": qfuse(mlp_d["gate"][j], mlp_d["up"][j]),
+            "down": quantize_linear(mlp_d["down"][j]),
+        }
+        for j in range(attn_d["wq"].shape[0])
+    ]
+    attn_m = moe.pop("attn")
+    shared = moe.pop("shared")
+    q8_moe = [
+        {
+            "wqkv": qfuse(attn_m["wq"][j], attn_m["wk"][j], attn_m["wv"][j]),
+            "wo": quantize_linear(attn_m["wo"][j]),
+            "shared_gu": qfuse(shared["gate"][j], shared["up"][j]),
+            "shared_down": quantize_linear(shared["down"][j]),
+        }
+        for j in range(n_moe)
+    ]
+    new["q8_layers"] = {"dense": q8_dense, "moe": q8_moe}
+    new["q8_lm_head"] = quantize_linear(new.pop("lm_head"))
     return new
+
+
+def vocab_size_of(params: Params) -> int:
+    if "lm_head" in params:
+        return params["lm_head"].shape[-1]
+    return params["q8_lm_head"]["q8"].shape[-1]
 
 
 def _dequantize_experts(q8, dtype):
@@ -443,9 +513,7 @@ def _attention_decode_ragged(
     nh, d = cfg.num_attention_heads, cfg.head_dim
     kv_dtype = cache_k.dtype
 
-    q = (x @ attn["wq"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
-    k = (x @ attn["wk"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
-    v = (x @ attn["wv"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
+    q, k, v = _qkv_proj(x, attn, b, 1, nh, d, decode=True)
 
     # Per-slot RoPE: gather each slot's cos/sin row.
     cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]  # [B,1,1,D]
@@ -477,7 +545,7 @@ def _attention_decode_ragged(
         out_dtype=jnp.float32,
     )
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, h).astype(x.dtype)
-    return ctx @ attn["wo"], cache_k, cache_v
+    return _o_proj(ctx, attn, decode=True), cache_k, cache_v
 
 
 def lm_decode_step_ragged(
@@ -488,6 +556,8 @@ def lm_decode_step_ragged(
     pos: jnp.ndarray,  # [B]
 ) -> Tuple[jnp.ndarray, Any]:
     """One decode step with per-slot positions. Returns (hidden [B,1,H], cache)."""
+    if "moe_q8" in params:
+        return _lm_decode_step_ragged_q8(params, cfg, embeds, cache, pos)
     cos, sin = _rope_consts(cfg)
     x = embeds
     ld = cfg.first_k_dense_replace
@@ -542,6 +612,64 @@ def lm_decode_step_ragged(
     return hidden, new_cache
 
 
+def _q8_layer_weights(params: Params, which: str, j: int):
+    """Per-layer weights for the unrolled q8 paths, merging the bf16 stacked
+    entries (norms, router, and — in experts-only scope — attn/mlp/shared)
+    with the per-layer q8 dicts when scope="full"."""
+    base = _index_tree(params[f"layers_{which}"], j)
+    q8l = params.get("q8_layers")
+    if q8l is None:
+        return base
+    merged = dict(base)
+    q = q8l[which][j]
+    merged["attn"] = {"wqkv": q["wqkv"], "wo": q["wo"]}
+    if which == "dense":
+        merged["mlp_q8"] = {"gu": q["gu"], "down": q["down"]}
+    else:
+        merged["shared_q8"] = {"gu": q["shared_gu"], "down": q["shared_down"]}
+    return merged
+
+
+def _q8_ffn(
+    x_flat: jnp.ndarray,
+    layer,
+    cfg: DeepseekV2Config,
+    q8_experts,
+    *,
+    decode: bool,
+    is_prefill: bool,
+) -> jnp.ndarray:
+    """FFN for the q8 paths: dense SwiGLU or routed+shared MoE, with each
+    weight either bf16 (experts-only scope) or int8."""
+    from ..ops.flash_attention import pallas_enabled
+    from ..ops.linear_q8 import swiglu_q8
+    from ..ops.moe_q8 import moe_ffn_decode_q8
+
+    if "mlp_q8" in layer:
+        return swiglu_q8(x_flat, layer["mlp_q8"]["gu"], layer["mlp_q8"]["down"], decode=decode)
+    if "mlp" in layer:
+        return swiglu(x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"])
+
+    weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+    if decode and pallas_enabled():
+        routed = moe_ffn_decode_q8(x_flat, q8_experts, weights, idx)
+    else:
+        deq = _dequantize_experts(q8_experts, x_flat.dtype)
+        if is_prefill:
+            routed = moe_ffn_prefill(x_flat, deq, weights, idx)
+        else:
+            routed = moe_ffn_decode(x_flat, deq, weights, idx)
+    if "shared_q8" in layer:
+        shared = swiglu_q8(
+            x_flat, layer["shared_q8"]["gu"], layer["shared_q8"]["down"], decode=decode
+        )
+    else:
+        shared = swiglu(
+            x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
+        )
+    return routed + shared
+
+
 def _lm_forward_q8(
     params: Params,
     cfg: DeepseekV2Config,
@@ -550,18 +678,16 @@ def _lm_forward_q8(
     pos,
     is_prefill: bool,
 ) -> Tuple[jnp.ndarray, Any]:
-    """Unrolled layer loop with int8 routed experts (see quantize_lm_params)."""
-    from ..ops.flash_attention import pallas_enabled
-    from ..ops.moe_q8 import moe_ffn_decode_q8
-
+    """Unrolled layer loop for quantized params (see quantize_lm_params)."""
     cos, sin = _rope_consts(cfg)
     x = embeds
     ld = cfg.first_k_dense_replace
     b, s, h = x.shape
+    decode = not is_prefill
 
     new_k, new_v = [], []
     for i in range(ld):
-        layer = _index_tree(params["layers_dense"], i)
+        layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention(
@@ -570,8 +696,8 @@ def _lm_forward_q8(
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
-        mlp_out = swiglu(
-            xn.reshape(b * s, h), layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
+        mlp_out = _q8_ffn(
+            xn.reshape(b * s, h), layer, cfg, None, decode=decode, is_prefill=is_prefill
         ).reshape(b, s, h)
         x = res + mlp_out
         new_k.append(ck)
@@ -579,7 +705,7 @@ def _lm_forward_q8(
 
     for j, q8 in enumerate(params["moe_q8"]):
         li = ld + j
-        layer = _index_tree(params["layers_moe"], j)
+        layer = _q8_layer_weights(params, "moe", j)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention(
@@ -588,20 +714,62 @@ def _lm_forward_q8(
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
-        x_flat = xn.reshape(b * s, h)
-        weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
-        if not is_prefill and pallas_enabled():
-            routed = moe_ffn_decode_q8(x_flat, q8, weights, idx)
-        else:
-            deq = _dequantize_experts(q8, x_flat.dtype)
-            if is_prefill:
-                routed = moe_ffn_prefill(x_flat, deq, weights, idx)
-            else:
-                routed = moe_ffn_decode(x_flat, deq, weights, idx)
-        shared = swiglu(
-            x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
+        ffn = _q8_ffn(
+            xn.reshape(b * s, h), layer, cfg, q8, decode=decode, is_prefill=is_prefill
         )
-        x = res + (routed + shared).reshape(b, s, h)
+        x = res + ffn.reshape(b, s, h)
+        new_k.append(ck)
+        new_v.append(cv)
+
+    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return hidden, new_cache
+
+
+def _lm_decode_step_ragged_q8(
+    params: Params,
+    cfg: DeepseekV2Config,
+    embeds: jnp.ndarray,  # [B, 1, H]
+    cache,
+    pos: jnp.ndarray,  # [B]
+) -> Tuple[jnp.ndarray, Any]:
+    """Ragged (per-slot position) decode step for quantized params."""
+    cos, sin = _rope_consts(cfg)
+    x = embeds
+    ld = cfg.first_k_dense_replace
+    b, s, h = x.shape
+
+    new_k, new_v = [], []
+    for i in range(ld):
+        layer = _q8_layer_weights(params, "dense", i)
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention_decode_ragged(
+            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        mlp_out = _q8_ffn(
+            xn.reshape(b, h), layer, cfg, None, decode=True, is_prefill=False
+        ).reshape(b, 1, h)
+        x = res + mlp_out
+        new_k.append(ck)
+        new_v.append(cv)
+
+    for j, q8 in enumerate(params["moe_q8"]):
+        li = ld + j
+        layer = _q8_layer_weights(params, "moe", j)
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, ck, cv = _attention_decode_ragged(
+            xn, layer["attn"], cfg, cos, sin, cache["k"][li], cache["v"][li], pos
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        ffn = _q8_ffn(xn.reshape(b, h), layer, cfg, q8, decode=True, is_prefill=False)
+        x = res + ffn.reshape(b, 1, h)
         new_k.append(ck)
         new_v.append(cv)
 
@@ -613,6 +781,11 @@ def _lm_forward_q8(
 def logits_last(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """lm_head on the last position only (reference deepseek_v2.rs:981-990)."""
     last = hidden[:, -1, :]
+    if "q8_lm_head" in params:
+        from ..ops.linear_q8 import qmm
+
+        # Rows here are at most the decode batch — always the kernel path.
+        return qmm(last, params["q8_lm_head"], decode=True, out_dtype=jnp.float32)
     return last @ params["lm_head"]
 
 
@@ -687,6 +860,8 @@ def lm_forward_debug(params: Params, cfg: DeepseekV2Config, embeds: jnp.ndarray)
 
 
 def logits_all(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    if "lm_head" not in params:
+        raise ValueError("logits_all (training path) requires unquantized lm_head")
     return hidden @ params["lm_head"]
 
 

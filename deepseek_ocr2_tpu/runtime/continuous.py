@@ -110,7 +110,7 @@ def decode_chunk(
 ):
     """Advance all active slots by up to n_steps decode steps (one dispatch)."""
     b, cap = tokens.shape
-    vocab = lm_params["lm_head"].shape[-1]
+    vocab = dsv2.vocab_size_of(lm_params)
     rows = jnp.arange(b)
     ban_fn = jax.vmap(ngram_ban_mask, in_axes=(0, 0, None, None))
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import DeepseekV2Config
-from ..models.deepseek_v2 import lm_forward, logits_last
+from ..models.deepseek_v2 import lm_forward, logits_last, vocab_size_of
 from ..ops.sampling import greedy_pick, ngram_ban_mask, sample_pick
 from .kv_cache import make_kv_cache
 
@@ -67,7 +67,7 @@ def greedy_generate(
     assert s + max_new_tokens <= capacity, "capacity too small"
     if prompt_ids.ndim == 1:
         prompt_ids = prompt_ids[None]
-    vocab = params["lm_head"].shape[-1]
+    vocab = vocab_size_of(params)
     t_buf = s + max_new_tokens
 
     cache = make_kv_cache(
