@@ -122,6 +122,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--images", required=True, nargs="+", help="image files")
     sp.add_argument("--batch-size", type=int, default=8)
     sp.add_argument("--no-crop", action="store_true")
+    sp.add_argument("--rotate", choices=["0", "90", "180", "270"], default="0")
+    sp.add_argument("--auto-rotate", action="store_true")
     sp.add_argument("--no-repeat-ngram-size", type=int, default=20)
     sp.add_argument("--vision-dtype", type=_dtype_arg, default="bfloat16")
     sp.add_argument("--lm-dtype", type=_dtype_arg, default="bfloat16")
@@ -130,7 +132,17 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="continuous batching (slots refill as pages finish; best for long outputs)",
     )
-    sp.add_argument("--capacity", type=int, default=2048, help="KV slot capacity (continuous)")
+    sp.add_argument("--capacity", type=int, default=2048, help="max tokens per page (continuous)")
+    sp.add_argument("--page-size", type=int, default=128, help="KV page size (continuous)")
+    sp.add_argument(
+        "--pool-tokens",
+        type=int,
+        default=None,
+        help="shared KV pool size in tokens (continuous; default slots*capacity)",
+    )
+    sp.add_argument(
+        "--per-page-stats", action="store_true", help="print per-page phase timings"
+    )
     return p
 
 
@@ -369,30 +381,40 @@ def cmd_serve(args) -> int:
     pipe, cfg = _load_ocr_pipeline(args)
     sampling = _sampling_args(args)
     if args.continuous:
-        if sampling:
-            raise SystemExit("error: --continuous currently supports greedy decoding only")
         from .runtime.continuous import ContinuousOCREngine
 
         engine = ContinuousOCREngine(
-            pipe, slots=args.batch_size, capacity=args.capacity
+            pipe,
+            slots=args.batch_size,
+            capacity=args.capacity,
+            page_size=args.page_size,
+            pool_tokens=args.pool_tokens,
         )
     else:
         from .runtime.engine import OCR2Engine
 
         engine = OCR2Engine(pipe, batch_size=args.batch_size)
     t0 = time.perf_counter()
-    run_kwargs = dict(
+    results = engine.run(
+        args.images,
         max_new_tokens=args.max_new_tokens,
         no_crop=args.no_crop,
+        rotate=int(args.rotate),
+        auto_rotate=args.auto_rotate,
         ngram_size=args.no_repeat_ngram_size,
+        sampling=sampling,
     )
-    if not args.continuous:
-        run_kwargs["sampling"] = sampling
-    results = engine.run(args.images, **run_kwargs)
     dt = time.perf_counter() - t0
     for path, res in zip(args.images, results):
         print(f"=== {path} ===")
         print(res.text)
+        if args.per_page_stats:
+            print(
+                f"  [prefill {res.prefill_seconds * 1e3:.0f} ms, "
+                f"decode {res.decode_seconds * 1e3:.0f} ms, "
+                f"{res.new_tokens} tokens]",
+                file=sys.stderr,
+            )
     print(f"[{len(args.images)} pages in {dt:.2f}s = {len(args.images) / dt:.2f} pages/s]", file=sys.stderr)
     return 0
 

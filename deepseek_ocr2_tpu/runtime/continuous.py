@@ -1,23 +1,38 @@
-"""Continuous-batching OCR engine.
+"""Continuous-batching OCR engine on the paged KV cache.
 
 Long-output multi-page serving (BASELINE configs #4/#5): a fixed pool of
-decode slots shares one KV cache; pages are admitted into free slots as
-others finish, so encoder prefill and decode overlap across pages and the
+decode slots shares one *paged* KV pool; pages are admitted into free slots
+as others finish, so encoder prefill and decode overlap across pages and the
 decoder never idles on stragglers. The reference has nothing comparable
 (batch=1, deepseek_ocr2.rs:140).
 
+Memory model (vs the r1 contiguous slots x capacity cache): K/V lives in
+fixed-size pages drawn from a shared pool (runtime/paged_kv.py). A page's
+allocation is exactly ceil((prompt + max_new) / page_size) pages — bounded by
+its own budget, not the engine-wide max — and every page returns to the pool
+at harvest, so the pool can be sized for tokens actually in flight.
+
 Device/host split:
-- admission (per page): vision prefill + LM prefill into a private cache,
-  then a slot-insert jit copies the prompt KV into the shared cache;
+- admission (batched): pending pages are grouped by crop grid and admitted
+  in power-of-two batches — ONE batched vision prefill + ONE batched LM
+  prefill + ONE scatter of all prompt KV into the pool per group (the r1
+  engine ran a batch-1 vision prefill per page, stalling the decoder after
+  bursts of completions);
 - decoding: `decode_chunk` advances ALL active slots `chunk` steps in one
-  dispatch (per-slot positions, per-slot n-gram ban, per-slot EOS/budget);
-  the host only reads back the done flags between chunks.
+  dispatch over the paged pool (per-slot positions, per-slot n-gram ban,
+  per-slot EOS/budget, optional per-slot sampling); the host reads back one
+  small packed state vector between chunks.
+
+Sampling is per-page reproducible: the PRNG key folds (seed, page_index,
+absolute position), so a page's sampled tokens do not depend on slot
+assignment or chunk boundaries.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Union
+import time
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,9 +41,16 @@ from PIL import Image
 
 from ..configs import DeepseekV2Config
 from ..models import deepseek_v2 as dsv2
-from ..ops.sampling import greedy_pick, ngram_ban_mask
+from ..ops.sampling import greedy_pick, ngram_ban_mask, sample_pick
 from ..utils.tokenizer import decode_output, tokenize_with_image
 from .kv_cache import make_kv_cache
+from .paged_kv import (
+    PageAllocator,
+    lm_decode_step_paged,
+    make_paged_kv_cache,
+    pages_for,
+    write_prompt_pages_batched,
+)
 from .pipeline import GenerationResult, OCR2Pipeline
 
 
@@ -38,94 +60,129 @@ from .pipeline import GenerationResult, OCR2Pipeline
 def admit_prefill(
     lm_params,
     cfg: DeepseekV2Config,
-    embeds: jnp.ndarray,  # [1, S, H]
-    prompt_ids: jnp.ndarray,  # [S]
+    embeds: jnp.ndarray,  # [G, S, H]
+    prompt_ids: jnp.ndarray,  # [G, S]
     *,
     capacity: int,
     kv_dtype: str,
     ngram_size: int,
     eos_id: int,
 ):
-    """Prefill one page. Returns (k [L,1,Hh,cap,D], v, first_tok scalar)."""
+    """Batched LM prefill for an admission group sharing one prompt length.
+
+    Returns (k [L,G,Hh,cap,D], v, first_tok [G]).
+    """
+    g, s, _ = embeds.shape
     cache = make_kv_cache(
         cfg.num_hidden_layers,
-        1,
+        g,
         cfg.num_attention_heads,
         capacity,
         cfg.head_dim,
         dtype=jnp.dtype(kv_dtype),
     )
     hidden, cache = dsv2.lm_forward(lm_params, cfg, embeds, cache, pos=0, is_prefill=True)
-    logits = dsv2.logits_last(lm_params, hidden)[0]
-    s = embeds.shape[1]
+    logits = dsv2.logits_last(lm_params, hidden)  # [G, V]
     vocab = logits.shape[-1]
-    buf = jnp.zeros((capacity,), jnp.int32)
-    buf = jax.lax.dynamic_update_slice(buf, prompt_ids.astype(jnp.int32), (0,))
-    ban = ngram_ban_mask(buf, jnp.int32(s), ngram_size, vocab)
-    tok = greedy_pick(logits, ban)
+    buf = jnp.zeros((g, capacity), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids.astype(jnp.int32), (0, 0))
+    ban = jax.vmap(ngram_ban_mask, in_axes=(0, None, None, None))(
+        buf, jnp.int32(s), ngram_size, vocab
+    )
+    tok = jax.vmap(greedy_pick)(logits, ban)
     return cache["k"], cache["v"], tok
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def insert_slot(cache, k_new, v_new, slot, tokens, slot_tokens, cur_len, limit,
-                done0, state_cur_lens, state_limits, state_done):
-    """Copy an admitted page's KV + token buffer into shared state at `slot`.
-
-    `done0` freezes slots whose first generated token already hits the stop
-    condition (EOS on the prefill token, or max_new_tokens == 1), matching
-    greedy_generate's post-prefill done check.
-    """
-    cache = {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], k_new, (0, slot, 0, 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], v_new, (0, slot, 0, 0, 0)
-        ),
-    }
-    tokens = jax.lax.dynamic_update_slice(tokens, slot_tokens[None], (slot, 0))
-    state_cur_lens = state_cur_lens.at[slot].set(cur_len)
-    state_limits = state_limits.at[slot].set(limit)
-    state_done = state_done.at[slot].set(done0)
-    return cache, tokens, state_cur_lens, state_limits, state_done
+@functools.partial(jax.jit, donate_argnums=(0, 1, 5), static_argnames=("prompt_len",))
+def insert_group(
+    pool_k,
+    pool_v,
+    k_new,  # [L, G, Hh, cap, D]
+    v_new,
+    page_ids,  # [G, n_prompt_pages] i32
+    tokens,  # [slots, tok_cap] i32
+    slot_ids,  # [G] i32
+    group_tokens,  # [G, tok_cap] i32 (prompt + first token)
+    done0,  # [G] bool
+    state_cur_lens,
+    state_limits,
+    state_done,
+    state_seeds,
+    group_limits,  # [G] i32
+    group_seeds,  # [G] i32
+    *,
+    prompt_len: int,
+):
+    """Scatter an admission group's prompt KV into the pool and its decode
+    state into the shared slot arrays — one dispatch for the whole group."""
+    pool_k = write_prompt_pages_batched(pool_k, k_new, page_ids, prompt_len)
+    pool_v = write_prompt_pages_batched(pool_v, v_new, page_ids, prompt_len)
+    tokens = tokens.at[slot_ids].set(group_tokens)
+    state_cur_lens = state_cur_lens.at[slot_ids].set(jnp.int32(prompt_len + 1))
+    state_limits = state_limits.at[slot_ids].set(group_limits)
+    state_done = state_done.at[slot_ids].set(done0)
+    state_seeds = state_seeds.at[slot_ids].set(group_seeds)
+    return pool_k, pool_v, tokens, state_cur_lens, state_limits, state_done, state_seeds
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "ngram_size", "eos_id"),
+    static_argnames=(
+        "cfg", "n_steps", "ngram_size", "eos_id", "temperature", "top_k", "top_p",
+    ),
     donate_argnums=(1, 2),
 )
 def decode_chunk(
     lm_params,
-    cache,
-    tokens: jnp.ndarray,  # [B, cap] i32
+    cache,  # PagedKV {'k','v'}: [L, P, Hh, page, D]
+    tokens: jnp.ndarray,  # [B, tok_cap] i32
     cur_lens: jnp.ndarray,  # [B] valid token counts
     done: jnp.ndarray,  # [B] bool
     limits: jnp.ndarray,  # [B] stop length (prompt + max_new)
+    block_tables: jnp.ndarray,  # [B, max_pages] i32
+    seeds: jnp.ndarray,  # [B] i32 per-slot sampling seeds
     cfg: DeepseekV2Config,
     *,
     n_steps: int,
     ngram_size: int,
     eos_id: int,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ):
     """Advance all active slots by up to n_steps decode steps (one dispatch)."""
-    b, cap = tokens.shape
+    b, tok_cap = tokens.shape
     vocab = dsv2.vocab_size_of(lm_params)
     rows = jnp.arange(b)
     ban_fn = jax.vmap(ngram_ban_mask, in_axes=(0, 0, None, None))
 
+    def pick(logits, ban, cur_lens):
+        if temperature == 0.0:
+            return jax.vmap(greedy_pick)(logits, ban)
+        keys = jax.vmap(
+            lambda sd, cl: jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(0), sd), cl)
+        )(seeds, cur_lens)
+        return jax.vmap(
+            lambda l, k, m: sample_pick(
+                l, k, m, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+        )(logits, keys, ban)
+
     def step(state, _):
         cache, tokens, cur_lens, done = state
         active = ~done
-        last = tokens[rows, jnp.clip(cur_lens - 1, 0, cap - 1)]
+        last = tokens[rows, jnp.clip(cur_lens - 1, 0, tok_cap - 1)]
         emb = jnp.take(lm_params["embed"], last, axis=0)[:, None, :]
-        pos = jnp.clip(cur_lens - 1, 0, cap - 1)
-        hidden, cache = dsv2.lm_decode_step_ragged(lm_params, cfg, emb, cache, pos)
+        pos = jnp.clip(cur_lens - 1, 0, tok_cap - 1)
+        # Finished/empty slots must never write into live pages: point their
+        # block-table rows at the reserved scratch page 0.
+        bt = jnp.where(done[:, None], 0, block_tables)
+        hidden, cache = lm_decode_step_paged(lm_params, cfg, emb, cache, bt, pos)
         logits = dsv2.logits_last(lm_params, hidden)  # [B, V]
         ban = ban_fn(tokens, cur_lens, ngram_size, vocab)
-        nxt = jax.vmap(greedy_pick)(logits, ban)
+        nxt = pick(logits, ban, cur_lens)
         nxt = jnp.where(active, nxt, last)
-        widx = jnp.clip(cur_lens, 0, cap - 1)
+        widx = jnp.clip(cur_lens, 0, tok_cap - 1)
         old = tokens[rows, widx]
         tokens = tokens.at[rows, widx].set(jnp.where(active, nxt, old))
         newly_done = active & ((nxt == eos_id) | (cur_lens + 1 >= limits))
@@ -136,11 +193,26 @@ def decode_chunk(
     (cache, tokens, cur_lens, done), _ = jax.lax.scan(
         step, (cache, tokens, cur_lens, done), None, length=n_steps
     )
-    return cache, tokens, cur_lens, done
+    # Pack the between-chunk host readback into one small transfer.
+    status = jnp.concatenate([cur_lens, done.astype(jnp.int32)])
+    return cache, tokens, cur_lens, done, status
+
+
+def _pow2_at_most(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
 
 
 class ContinuousOCREngine:
-    """Slot-based continuous batching over the OCR pipeline."""
+    """Continuous batching over the OCR pipeline, paged KV, batched admits.
+
+    pool_tokens sizes the shared KV pool (default: slots * capacity, i.e. no
+    less memory than the contiguous engine; pass less for memory-elastic
+    serving — each page only ever holds ceil((prompt+max_new)/page_size)
+    pages, and pages recycle at completion).
+    """
 
     def __init__(
         self,
@@ -148,11 +220,18 @@ class ContinuousOCREngine:
         slots: int = 8,
         capacity: int = 2048,
         chunk_steps: int = 32,
+        page_size: int = 128,
+        pool_tokens: Optional[int] = None,
     ):
         self.pipe = pipe
         self.slots = slots
         self.capacity = capacity
         self.chunk_steps = chunk_steps
+        self.page_size = page_size
+        self.pool_tokens = pool_tokens or slots * capacity
+        self.max_pages_per_slot = pages_for(capacity, page_size)
+        # +1: page 0 is the reserved scratch page.
+        self.num_pages = pages_for(self.pool_tokens, page_size) + 1
 
     def run(
         self,
@@ -161,118 +240,226 @@ class ContinuousOCREngine:
         max_new_tokens: int = 512,
         no_crop: bool = False,
         ngram_size: int = 20,
+        rotate: int = 0,
         auto_rotate: bool = False,
+        sampling: Optional[dict] = None,
     ) -> List[GenerationResult]:
         pipe = self.pipe
         cfg = pipe.cfg
         lm = pipe.params["lm"]
         lm_cfg = cfg.lm
-        b, cap = self.slots, self.capacity
+        b, tok_cap, page = self.slots, self.capacity, self.page_size
         prompt = prompt or cfg.default_ocr_prompt
         eos = cfg.eos_token_id
+        sampling = sampling or {}
+        samp_static = dict(
+            temperature=sampling.get("temperature", 0.0),
+            top_k=sampling.get("top_k", 0),
+            top_p=sampling.get("top_p", 1.0),
+        )
+        base_seed = sampling.get("seed", 0)
 
-        cache = make_kv_cache(
+        cache = make_paged_kv_cache(
             lm_cfg.num_hidden_layers,
-            b,
+            self.num_pages,
             lm_cfg.num_attention_heads,
-            cap,
+            page,
             lm_cfg.head_dim,
             dtype=jnp.dtype(pipe.kv_dtype),
         )
-        tokens = jnp.zeros((b, cap), jnp.int32)
+        alloc = PageAllocator(self.num_pages)
+        block_tables_np = np.zeros((b, self.max_pages_per_slot), np.int32)
+        tokens = jnp.zeros((b, tok_cap), jnp.int32)
         cur_lens = jnp.zeros((b,), jnp.int32)
         limits = jnp.zeros((b,), jnp.int32)
+        seeds = jnp.zeros((b,), jnp.int32)
         done = jnp.ones((b,), bool)  # empty slots count as done
+        done_np = np.ones((b,), bool)
+        lens_np = np.zeros((b,), np.int32)
 
         pending = list(range(len(images)))
         slot_page: Dict[int, int] = {}
+        slot_pages: Dict[int, List[int]] = {}
         prompt_lens: Dict[int, int] = {}
+        admit_t: Dict[int, float] = {}
+        prefill_t: Dict[int, float] = {}
         results: List[Optional[GenerationResult]] = [None] * len(images)
 
-        def admit(slot: int, page_idx: int):
-            nonlocal cache, tokens, cur_lens, limits, done
-            image_base, patches, crop_ratio, _ = pipe.preprocess_image(
-                images[page_idx], no_crop=no_crop, auto_rotate=auto_rotate
-            )
-            ids, _, image_start = tokenize_with_image(
-                pipe.tokenizer, prompt, cfg, crop_ratio
-            )
+        def admit_group(slot_ids: List[int], page_idxs: List[int]):
+            """One batched vision + LM prefill + pool scatter for a group of
+            pages sharing a crop grid."""
+            nonlocal cache, tokens, cur_lens, limits, done, seeds
+            t0 = time.perf_counter()
+            g = len(page_idxs)
+            pre = [preprocessed.pop(p) for p in page_idxs]
+            crop_ratio = pre[0][2]
+            ids, _, image_start = tokenize_with_image(pipe.tokenizer, prompt, cfg, crop_ratio)
             s = len(ids)
-            assert s + max_new_tokens <= cap, "engine capacity too small"
-            embeds = pipe.build_ocr_embeds(ids, image_base, patches, image_start)
-            ids_j = jnp.asarray(ids, jnp.int32)
+            assert s + max_new_tokens <= tok_cap, "engine capacity too small"
+            n_prompt_pages = pages_for(s, page)
+            n_total_pages = pages_for(s + max_new_tokens, page)
+            prefill_cap = n_prompt_pages * page
+
+            bases = np.concatenate([p[0] for p in pre])  # [G, 3, S, S]
+            patches = None
+            if pre[0][1] is not None:
+                patches = np.stack([p[1] for p in pre])  # [G, P, 3, c, c]
+
+            from .engine import _batched_vision_prefill
+
+            ids_arr = jnp.asarray(np.tile(np.asarray(ids, np.int32), (g, 1)))
+            embeds = _batched_vision_prefill(
+                pipe.params,
+                cfg,
+                ids_arr,
+                jnp.asarray(bases),
+                None if patches is None else jnp.asarray(patches),
+                image_start,
+                pipe.act_dtype,
+            )
             k_new, v_new, first = admit_prefill(
                 lm,
                 lm_cfg,
                 embeds,
-                ids_j,
-                capacity=cap,
+                ids_arr,
+                capacity=prefill_cap,
                 kv_dtype=pipe.kv_dtype,
                 ngram_size=ngram_size,
                 eos_id=eos,
             )
-            slot_tokens = jnp.zeros((cap,), jnp.int32)
-            slot_tokens = jax.lax.dynamic_update_slice(slot_tokens, ids_j, (0,))
-            slot_tokens = slot_tokens.at[s].set(first)
+            # Per-group page allocation + block tables (host).
+            page_ids = np.zeros((g, n_prompt_pages), np.int32)
+            for row, (slot, p_idx) in enumerate(zip(slot_ids, page_idxs)):
+                pages = alloc.allocate(n_total_pages)
+                slot_pages[slot] = pages
+                block_tables_np[slot] = 0
+                block_tables_np[slot, : len(pages)] = pages
+                page_ids[row] = pages[:n_prompt_pages]
+                slot_page[slot] = p_idx
+                prompt_lens[slot] = s
+
+            group_tokens = np.zeros((g, tok_cap), np.int32)
+            group_tokens[:, :s] = np.asarray(ids, np.int32)
+            group_tokens_j = jnp.asarray(group_tokens).at[jnp.arange(g), s].set(first)
             done0 = jnp.logical_or(first == eos, max_new_tokens <= 1)
-            cache, tokens, cur_lens, limits, done = insert_slot(
-                cache,
+            group_seeds = jnp.asarray(
+                [base_seed + p_idx for p_idx in page_idxs], jnp.int32
+            )
+            (
+                ck, cv, tokens, cur_lens, limits, done, seeds
+            ) = insert_group(
+                cache["k"],
+                cache["v"],
                 k_new,
                 v_new,
-                jnp.int32(slot),
+                jnp.asarray(page_ids),
                 tokens,
-                slot_tokens,
-                jnp.int32(s + 1),
-                jnp.int32(s + max_new_tokens),
+                jnp.asarray(slot_ids, jnp.int32),
+                group_tokens_j,
                 done0,
                 cur_lens,
                 limits,
                 done,
+                seeds,
+                jnp.full((g,), s + max_new_tokens, jnp.int32),
+                group_seeds,
+                prompt_len=s,
             )
-            slot_page[slot] = page_idx
-            prompt_lens[slot] = s
+            cache = {"k": ck, "v": cv}
+            # Barrier (block_until_ready does not sync on this platform) +
+            # freeze host-side done view for slots finishing on token 1.
+            done0_h = np.asarray(done0)
+            dt = time.perf_counter() - t0
+            for row, (slot, p_idx) in enumerate(zip(slot_ids, page_idxs)):
+                done_np[slot] = bool(done0_h[row])
+                lens_np[slot] = s + 1
+                admit_t[slot] = time.perf_counter()
+                prefill_t[slot] = dt
+
+        preprocessed: Dict[int, tuple] = {}
+
+        def ensure_preprocessed(page_idxs):
+            for p in page_idxs:
+                if p not in preprocessed:
+                    preprocessed[p] = pipe.preprocess_image(
+                        images[p], no_crop=no_crop, rotate=rotate, auto_rotate=auto_rotate
+                    )
+
+        def admit_pending():
+            """Admit pending pages into free slots in power-of-two batches
+            grouped by crop grid (bounds vision-tower compile variants)."""
+            free = [s for s in range(b) if s not in slot_page]
+            while pending and free:
+                take = pending[: len(free)]
+                ensure_preprocessed(take)
+                # Group the head of the queue by ratio.
+                ratio0 = preprocessed[take[0]][2]
+                group = [p for p in take if preprocessed[p][2] == ratio0]
+                g = _pow2_at_most(len(group))
+                group = group[:g]
+                # Check pool headroom for the whole group.
+                ids, _, _ = tokenize_with_image(
+                    pipe.tokenizer, prompt, cfg, ratio0
+                )
+                need = pages_for(len(ids) + max_new_tokens, page) * g
+                if need > alloc.n_free:
+                    if not slot_page:
+                        raise RuntimeError(
+                            f"KV page pool too small: a single admission group needs "
+                            f"{need} pages, pool has {alloc.n_free} free "
+                            f"(pool_tokens={self.pool_tokens}, page_size={page})"
+                        )
+                    return  # wait for completions to free pages
+                slot_ids = free[:g]
+                admit_group(slot_ids, group)
+                for p in group:
+                    pending.remove(p)
+                free = free[g:]
 
         def harvest():
-            """Read back done flags; finalize finished slots."""
-            nonlocal cache, tokens, cur_lens, done
-            done_h = np.asarray(done)
-            lens_h = np.asarray(cur_lens)
+            """Finalize finished slots; free their pages."""
+            nonlocal tokens
+            now = time.perf_counter()
             for slot in list(slot_page):
-                if done_h[slot]:
+                if done_np[slot]:
                     page_idx = slot_page.pop(slot)
-                    total = int(lens_h[slot])
+                    total = int(lens_np[slot])
                     all_ids = np.asarray(tokens[slot, :total]).tolist()
                     p_len = prompt_lens.pop(slot)
                     gen_ids = all_ids[p_len:]
                     text = decode_output(pipe.tokenizer, gen_ids, cfg.stop_string)
+                    alloc.release(slot_pages.pop(slot))
+                    block_tables_np[slot] = 0
                     results[page_idx] = GenerationResult(
                         text=text,
                         token_ids=all_ids,
                         prompt_len=p_len,
-                        prefill_seconds=0.0,
-                        decode_seconds=0.0,
+                        prefill_seconds=prefill_t.pop(slot),
+                        decode_seconds=now - admit_t.pop(slot),
                         new_tokens=len(gen_ids),
                     )
 
         while pending or slot_page:
-            # Fill free slots.
-            free = [s for s in range(b) if s not in slot_page]
-            while pending and free:
-                admit(free.pop(), pending.pop(0))
-            # Advance all active slots one chunk.
-            if slot_page:
-                cache, tokens, cur_lens, done = decode_chunk(
+            admit_pending()
+            if slot_page and not all(done_np[s] for s in slot_page):
+                cache, tokens, cur_lens, done, status = decode_chunk(
                     lm,
                     cache,
                     tokens,
                     cur_lens,
                     done,
                     limits,
+                    jnp.asarray(block_tables_np),
+                    seeds,
                     lm_cfg,
                     n_steps=self.chunk_steps,
                     ngram_size=ngram_size,
                     eos_id=eos,
+                    **samp_static,
                 )
+                status_h = np.asarray(status)
+                lens_np[:] = status_h[:b]
+                done_np[:] = status_h[b:].astype(bool)
             harvest()
 
         return results  # type: ignore[return-value]

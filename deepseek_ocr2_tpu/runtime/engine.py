@@ -53,6 +53,7 @@ class OCR2Engine:
         max_new_tokens: int = 512,
         no_crop: bool = False,
         ngram_size: int = 20,
+        rotate: int = 0,
         auto_rotate: bool = False,
         sampling: Optional[dict] = None,
     ) -> List[GenerationResult]:
@@ -65,7 +66,7 @@ class OCR2Engine:
         )
         for idx, image in enumerate(images):
             base, patches, ratio, _ = self.pipe.preprocess_image(
-                image, no_crop=no_crop, auto_rotate=auto_rotate
+                image, no_crop=no_crop, rotate=rotate, auto_rotate=auto_rotate
             )
             groups[ratio].append((idx, base[0], patches))
 
@@ -96,6 +97,8 @@ class OCR2Engine:
     def _run_chunk(
         self, chunk, ids, image_start, max_new_tokens, ngram_size, results, sampling=None
     ):
+        import time
+
         cfg = self.pipe.cfg
         b = len(chunk)
         bases = np.stack([base for _, base, _ in chunk])  # [B, 3, S, S]
@@ -104,6 +107,7 @@ class OCR2Engine:
         else:
             patches = None
 
+        t0 = time.perf_counter()
         ids_arr = jnp.asarray(np.tile(np.asarray(ids, np.int32), (b, 1)))
         embeds = _batched_vision_prefill(
             self.pipe.params,
@@ -114,6 +118,10 @@ class OCR2Engine:
             image_start,
             self.pipe.act_dtype,
         )
+        # Timing barrier: block_until_ready does not sync on the tunneled
+        # platform; a tiny host transfer is the only reliable phase boundary.
+        np.asarray(embeds[0, 0, :1])
+        t1 = time.perf_counter()
 
         prompt_len = len(ids)
         capacity = bucket_capacity(prompt_len + max_new_tokens)
@@ -131,7 +139,11 @@ class OCR2Engine:
         )
         tokens = np.asarray(jax.block_until_ready(tokens))
         n_gen = np.asarray(n_gen)
+        t2 = time.perf_counter()
 
+        # Chunk-level phase walls (pages in a chunk run concurrently; the
+        # per-page attribution is the chunk's).
+        prefill_s, decode_s = t1 - t0, t2 - t1
         for row, (idx, _, _) in enumerate(chunk):
             total = prompt_len + int(n_gen[row])
             all_ids = tokens[row, :total].tolist()
@@ -141,7 +153,7 @@ class OCR2Engine:
                 text=text,
                 token_ids=all_ids,
                 prompt_len=prompt_len,
-                prefill_seconds=0.0,
-                decode_seconds=0.0,
+                prefill_seconds=prefill_s,
+                decode_seconds=decode_s,
                 new_tokens=len(gen_ids),
             )

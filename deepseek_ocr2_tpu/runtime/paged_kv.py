@@ -6,6 +6,10 @@ completion, and capacity is bounded by total tokens in flight rather than
 slots x max_len. Decode attention over pages runs in the Pallas kernel
 (ops/paged_attention.py); page allocation is host-side (the engine owns the
 free list).
+
+Page 0 is reserved as a scratch page: finished/empty slots participating in
+a batched decode dispatch write their (discarded) K/V there so they can
+never clobber a live sequence's pages.
 """
 
 from __future__ import annotations
@@ -22,7 +26,14 @@ from ..ops.moe import moe_ffn_decode, route, swiglu
 from ..ops.norms import rms_norm
 from ..ops.paged_attention import paged_decode_attention, paged_decode_attention_xla
 from ..ops.flash_attention import pallas_enabled
-from ..models.deepseek_v2 import _index_tree, _rope_consts
+from ..models.deepseek_v2 import (
+    _index_tree,
+    _o_proj,
+    _q8_ffn,
+    _q8_layer_weights,
+    _qkv_proj,
+    _rope_consts,
+)
 
 PagedKV = Dict[str, jnp.ndarray]  # {'k': [L, P, Hh, page, D], 'v': ...}
 
@@ -40,10 +51,14 @@ def make_paged_kv_cache(
 
 
 class PageAllocator:
-    """Host-side free list over the page pool."""
+    """Host-side free list over the page pool (page 0 reserved as scratch)."""
 
-    def __init__(self, num_pages: int):
-        self.free: List[int] = list(range(num_pages))
+    def __init__(self, num_pages: int, reserve_scratch: bool = True):
+        self.free: List[int] = list(range(1 if reserve_scratch else 0, num_pages))
+
+    @property
+    def n_free(self) -> int:
+        return len(self.free)
 
     def allocate(self, n: int) -> List[int]:
         if n > len(self.free):
@@ -67,13 +82,29 @@ def write_prompt_pages(
     seq_len: int,
 ) -> jnp.ndarray:
     """Scatter a prompt's K (or V) into its allocated pages."""
-    l, _, hh, s_cap, d = k_prompt.shape
+    return write_prompt_pages_batched(pool, k_prompt, page_ids[None], seq_len)
+
+
+def write_prompt_pages_batched(
+    pool: jnp.ndarray,  # [L, P, Hh, page, D]
+    k_prompt: jnp.ndarray,  # [L, G, Hh, cap, D] (batched contiguous prefill)
+    page_ids: jnp.ndarray,  # [G, n_pages] i32
+    seq_len: int,
+) -> jnp.ndarray:
+    """Scatter a same-length admission group's K (or V) into its pages.
+
+    One scatter for the whole group — admission batches of G pages with a
+    shared prompt length land in G*n_pages pages in a single dispatch.
+    """
+    l, g, hh, cap, d = k_prompt.shape
     page = pool.shape[3]
-    n_pages = page_ids.shape[0]
+    n_pages = page_ids.shape[1]
     padded = n_pages * page
-    kp = k_prompt[:, 0, :, :padded, :]  # [L, Hh, padded, D] (cap >= padded)
-    kp = kp.reshape(l, hh, n_pages, page, d).transpose(0, 2, 1, 3, 4)
-    return pool.at[:, page_ids].set(kp.astype(pool.dtype))
+    assert cap >= padded, (cap, padded)
+    kp = k_prompt[:, :, :, :padded, :]  # [L, G, Hh, padded, D]
+    kp = kp.reshape(l, g, hh, n_pages, page, d).transpose(0, 1, 3, 2, 4, 5)
+    kp = kp.reshape(l, g * n_pages, hh, page, d)
+    return pool.at[:, page_ids.reshape(-1)].set(kp.astype(pool.dtype))
 
 
 def write_token_pages(
@@ -91,6 +122,54 @@ def write_token_pages(
     return pool.at[:, page_ids, :, off, :].set(new.astype(pool.dtype))
 
 
+def _paged_attention_step(
+    xn: jnp.ndarray,  # [B, 1, H] normed input
+    attn,  # {"wq","wk","wv","wo"} bf16 or {"wqkv","wo"} q8
+    cfg: DeepseekV2Config,
+    k_pool: jnp.ndarray,  # [P, Hh, page, D]
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages]
+    pos: jnp.ndarray,  # [B]
+    cos_b: jnp.ndarray,
+    sin_b: jnp.ndarray,
+    run_pallas: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """QKV + per-slot RoPE + paged KV write + paged attention + out proj."""
+    b, _, h = xn.shape
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(d)
+    seq_lens = pos + 1
+
+    q, k, v = _qkv_proj(xn, attn, b, 1, nh, d, decode=True)
+
+    def rot(t):
+        half = t.shape[-1] // 2
+        return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+
+    q32 = q.astype(jnp.float32) * cos_b + rot(q.astype(jnp.float32)) * sin_b
+    k32 = k.astype(jnp.float32) * cos_b + rot(k.astype(jnp.float32)) * sin_b
+    v32 = v.astype(jnp.float32)
+
+    page = k_pool.shape[2]
+    rows = jnp.arange(b)
+    page_ids = block_tables[rows, pos // page]
+    off = pos % page
+    k_pool = k_pool.at[page_ids, :, off, :].set(k32[:, :, 0, :].astype(k_pool.dtype))
+    v_pool = v_pool.at[page_ids, :, off, :].set(v32[:, :, 0, :].astype(v_pool.dtype))
+
+    q_dec = q32[:, :, 0, :]  # [B, Hh, D]
+    if run_pallas:
+        ctx = paged_decode_attention(
+            q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
+        )
+    else:
+        ctx = paged_decode_attention_xla(
+            q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
+        )
+    ctx = ctx.reshape(b, 1, h).astype(xn.dtype)
+    return _o_proj(ctx, attn, decode=True), k_pool, v_pool
+
+
 def lm_decode_step_paged(
     params,
     cfg: DeepseekV2Config,
@@ -101,55 +180,32 @@ def lm_decode_step_paged(
     *,
     use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, PagedKV]:
-    """One decode step over the paged cache. Returns (hidden [B,1,H], cache)."""
+    """One decode step over the paged cache. Returns (hidden [B,1,H], cache).
+
+    Quantized params (quantize_lm_params, either scope) take the unrolled
+    int8 path automatically.
+    """
+    if "moe_q8" in params:
+        return _lm_decode_step_paged_q8(
+            params, cfg, embeds, cache, block_tables, pos, use_pallas=use_pallas
+        )
     cos, sin = _rope_consts(cfg)
     b, s, h = embeds.shape
     assert s == 1
-    nh, d = cfg.num_attention_heads, cfg.head_dim
     ld = cfg.first_k_dense_replace
-    scale = 1.0 / math.sqrt(d)
-    seq_lens = pos + 1
     run_pallas = use_pallas and pallas_enabled()
 
     cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
     sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
 
-    def rot(t):
-        half = t.shape[-1] // 2
-        return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
-
     def layer_step(x, layer, k_pool, v_pool):
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q = (xn @ layer["attn"]["wq"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
-        k = (xn @ layer["attn"]["wk"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
-        v = (xn @ layer["attn"]["wv"]).reshape(b, 1, nh, d).transpose(0, 2, 1, 3)
-        q32 = q.astype(jnp.float32) * cos_b + rot(q.astype(jnp.float32)) * sin_b
-        k32 = k.astype(jnp.float32) * cos_b + rot(k.astype(jnp.float32)) * sin_b
-        v32 = v.astype(jnp.float32)
-
-        page = k_pool.shape[2]
-        rows = jnp.arange(b)
-        page_ids = block_tables[rows, pos // page]
-        off = pos % page
-        k_pool = k_pool.at[page_ids, :, off, :].set(
-            k32[:, :, 0, :].astype(k_pool.dtype)
+        attn_out, k_pool, v_pool = _paged_attention_step(
+            xn, layer["attn"], cfg, k_pool, v_pool, block_tables, pos,
+            cos_b, sin_b, run_pallas,
         )
-        v_pool = v_pool.at[page_ids, :, off, :].set(
-            v32[:, :, 0, :].astype(v_pool.dtype)
-        )
-
-        q_dec = q32[:, :, 0, :]  # [B, Hh, D]
-        if run_pallas:
-            ctx = paged_decode_attention(
-                q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
-            )
-        else:
-            ctx = paged_decode_attention_xla(
-                q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
-            )
-        ctx = ctx.reshape(b, 1, h).astype(x.dtype)
-        x = res + ctx @ layer["attn"]["wo"]
+        x = res + attn_out
 
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -188,5 +244,61 @@ def lm_decode_step_paged(
         "k": jnp.concatenate([jnp.stack(new_k), mk], axis=0),
         "v": jnp.concatenate([jnp.stack(new_v), mv], axis=0),
     }
+    hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return hidden, cache
+
+
+def _lm_decode_step_paged_q8(
+    params,
+    cfg: DeepseekV2Config,
+    embeds: jnp.ndarray,  # [B, 1, H]
+    cache: PagedKV,
+    block_tables: jnp.ndarray,
+    pos: jnp.ndarray,
+    *,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """Paged decode step for quantized params (unrolled: the fused int8
+    kernels are opaque custom calls that must not be scan-sliced)."""
+    cos, sin = _rope_consts(cfg)
+    b, s, h = embeds.shape
+    assert s == 1
+    ld = cfg.first_k_dense_replace
+    run_pallas = use_pallas and pallas_enabled()
+
+    cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
+    sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+
+    def layer_step(x, layer, q8_experts, k_pool, v_pool):
+        res = x
+        xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        attn_out, k_pool, v_pool = _paged_attention_step(
+            xn, layer["attn"], cfg, k_pool, v_pool, block_tables, pos,
+            cos_b, sin_b, run_pallas,
+        )
+        x = res + attn_out
+        res = x
+        xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        ffn = _q8_ffn(
+            xn.reshape(b, h), layer, cfg, q8_experts, decode=True, is_prefill=False
+        )
+        x = res + ffn.reshape(b, 1, h)
+        return x, k_pool, v_pool
+
+    x = embeds
+    new_k, new_v = [], []
+    for i in range(ld):
+        layer = _q8_layer_weights(params, "dense", i)
+        x, kp, vp = layer_step(x, layer, None, cache["k"][i], cache["v"][i])
+        new_k.append(kp)
+        new_v.append(vp)
+    for j, q8 in enumerate(params["moe_q8"]):
+        li = ld + j
+        layer = _q8_layer_weights(params, "moe", j)
+        x, kp, vp = layer_step(x, layer, q8, cache["k"][li], cache["v"][li])
+        new_k.append(kp)
+        new_v.append(vp)
+
+    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return hidden, cache

@@ -87,3 +87,64 @@ def test_continuous_max_new_tokens_one(setup):
     for s, b in zip(singles, results):
         assert b.new_tokens == 1
         assert b.token_ids == s.token_ids
+
+
+def test_continuous_small_pool_token_exact(setup):
+    """Memory elasticity: a pool holding ~half the slots*capacity tokens must
+    still produce token-exact results (admissions wait for freed pages)."""
+    cfg, pipe = setup
+    pages = _pages(4)
+    engine = ContinuousOCREngine(
+        pipe, slots=2, capacity=128, chunk_steps=4, page_size=64, pool_tokens=128
+    )
+    results = engine.run(pages, max_new_tokens=5, ngram_size=3)
+    singles = [pipe.generate_ocr(p, max_new_tokens=5, ngram_size=3) for p in pages]
+    for s, b in zip(singles, results):
+        assert b is not None
+        assert b.token_ids == s.token_ids
+
+
+def test_continuous_sampling_reproducible(setup):
+    """Sampling in the continuous engine: same seed => same tokens, and the
+    result must not depend on slot scheduling (per-page PRNG streams)."""
+    cfg, pipe = setup
+    pages = _pages(3)
+    samp = dict(temperature=1.0, top_k=4, top_p=1.0, seed=13)
+    e1 = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    r1 = e1.run(pages, max_new_tokens=5, ngram_size=0, sampling=dict(samp))
+    e2 = ContinuousOCREngine(pipe, slots=3, capacity=128, chunk_steps=2)
+    r2 = e2.run(pages, max_new_tokens=5, ngram_size=0, sampling=dict(samp))
+    for a, b in zip(r1, r2):
+        assert a.token_ids == b.token_ids
+    r3 = e1.run(pages, max_new_tokens=5, ngram_size=0, sampling=dict(samp, seed=14))
+    assert any(a.token_ids != c.token_ids for a, c in zip(r1, r3))
+
+
+def test_continuous_int8_runs(setup):
+    """Full-scope int8 params must work through the paged continuous path."""
+    import dataclasses
+
+    from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+
+    cfg, pipe = setup
+    qparams = dict(pipe.params)
+    qparams["lm"] = dsv2.quantize_lm_params(pipe.params["lm"], scope="full")
+    qpipe = OCR2Pipeline(
+        qparams, cfg, pipe.tokenizer, kv_dtype="float32", act_dtype="float32"
+    )
+    pages = _pages(2)
+    engine = ContinuousOCREngine(qpipe, slots=2, capacity=128, chunk_steps=4)
+    results = engine.run(pages, max_new_tokens=4, ngram_size=0)
+    for r in results:
+        assert r is not None and r.new_tokens >= 1
+
+
+def test_continuous_per_page_metrics(setup):
+    """Per-page phase metrics must be populated (were dead 0.0 fields)."""
+    cfg, pipe = setup
+    pages = _pages(2)
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    results = engine.run(pages, max_new_tokens=4, ngram_size=0)
+    for r in results:
+        assert r.prefill_seconds > 0
+        assert r.decode_seconds > 0

@@ -67,8 +67,8 @@ def test_paged_decode_step_matches_ragged():
         cfg.num_hidden_layers, 2 * n_pages_per + 1, cfg.num_attention_heads, page,
         cfg.head_dim, jnp.float32,
     )
+    # PageAllocator reserves page 0 as scratch, so tables aren't identity.
     alloc = paged_kv.PageAllocator(2 * n_pages_per + 1)
-    _ = alloc.allocate(1)  # burn page 0 so tables aren't trivially identity
     tables = []
     for slot in range(b):
         pages = alloc.allocate(n_pages_per)
