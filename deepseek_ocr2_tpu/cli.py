@@ -112,6 +112,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="tensor-name prefix to keep in float32 (repeatable)",
     )
 
+    sp = sub.add_parser(
+        "validate-hf",
+        help="Token-exact validation vs a recorded HF transcript (greedy OCR)",
+    )
+    common_gen(sp, ocr=True)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--prompt", default=None)
+    sp.add_argument("--image-token-id", type=int, default=128815)
+    sp.add_argument("--no-crop", action="store_true")
+    sp.add_argument("--rotate", choices=["0", "90", "180", "270"], default="0")
+    sp.add_argument("--auto-rotate", action="store_true")
+    sp.add_argument("--no-repeat-ngram-size", type=int, default=20)
+    sp.add_argument("--vision-dtype", type=_dtype_arg, default="float32")
+    sp.add_argument("--lm-dtype", type=_dtype_arg, default="bfloat16")
+    sp.add_argument(
+        "--expected",
+        default=None,
+        help="transcript JSON to validate against (as written by --emit)",
+    )
+    sp.add_argument(
+        "--emit",
+        default=None,
+        help="write the transcript JSON (generated token ids + text + fingerprints) here",
+    )
+
     sp = sub.add_parser("debug-rope", help="RoPE numeric sanity check on this backend")
     sp.add_argument("--max-seq-len", type=int, default=16)
     sp.add_argument("--head-dim", type=int, default=128)
@@ -419,6 +444,71 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_validate_hf(args) -> int:
+    """Golden-token harness for real-checkpoint bring-up (SURVEY.md §4).
+
+    With --emit: runs greedy OCR with the fingerprint channels forced on and
+    records a transcript (token ids, text, prompt math). With --expected:
+    re-runs and reports token-exact PASS/FAIL vs the recorded transcript,
+    with the first divergence position. Record the transcript once from a
+    known-good run of the HF reference (same image/prompt/flags); then
+    `validate-hf --expected transcript.json` is the one-command parity check.
+    """
+    import json
+
+    # Force the HF-parity debug channels so fingerprints always print
+    # (reference main.rs:1477-1523, 954-980).
+    os.environ.setdefault("DEEPSEEK_DEBUG_OCR", "1")
+
+    pipe, cfg = _load_ocr_pipeline(args)
+    result = pipe.generate_ocr(
+        args.image,
+        prompt=args.prompt,
+        max_new_tokens=args.max_new_tokens,
+        no_crop=args.no_crop,
+        rotate=int(args.rotate),
+        auto_rotate=args.auto_rotate,
+        ngram_size=args.no_repeat_ngram_size,
+        eos_token_id=args.eos_token_id,
+        sampling=None,  # validation is strictly greedy
+    )
+    transcript = {
+        "prompt_len": result.prompt_len,
+        "generated_ids": result.token_ids[result.prompt_len :],
+        "text": result.text,
+        "max_new_tokens": args.max_new_tokens,
+        "ngram_size": args.no_repeat_ngram_size,
+        "no_crop": bool(args.no_crop),
+    }
+    if args.emit:
+        with open(args.emit, "w") as f:
+            json.dump(transcript, f, indent=1)
+        print(f"wrote transcript ({len(transcript['generated_ids'])} tokens) to {args.emit}")
+    if args.expected:
+        with open(args.expected) as f:
+            want = json.load(f)
+        want_ids = want["generated_ids"]
+        got_ids = transcript["generated_ids"]
+        n = min(len(want_ids), len(got_ids))
+        diverge = next((i for i in range(n) if want_ids[i] != got_ids[i]), None)
+        if diverge is None and len(want_ids) == len(got_ids):
+            print(f"PASS: token-exact ({len(got_ids)} tokens)")
+            return 0
+        if diverge is None:
+            diverge = n
+        print(
+            f"FAIL: diverges at generated position {diverge} "
+            f"(expected {want_ids[diverge] if diverge < len(want_ids) else '<end>'}, "
+            f"got {got_ids[diverge] if diverge < len(got_ids) else '<end>'}); "
+            f"lengths {len(want_ids)} vs {len(got_ids)}"
+        )
+        print("hint: re-run with DEEPSEEK_DEBUG_TOPK=1 for per-step top-10 logits")
+        return 1
+    if not args.emit:
+        print(result.text)
+    return 0
+
+
 def cmd_convert(args) -> int:
     from .io import DtypePolicy, load_flat, save_flat
 
@@ -464,6 +554,8 @@ def main(argv=None) -> int:
         return cmd_generate_ocr(args)
     if args.command == "serve":
         return cmd_serve(args)
+    if args.command == "validate-hf":
+        return cmd_validate_hf(args)
     if args.command == "convert":
         return cmd_convert(args)
     if args.command == "debug-rope":

@@ -316,12 +316,29 @@ def resize_pos_embed(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
     Matches HF `F.interpolate(mode='bicubic', antialias=True,
     align_corners=False)` (see reference sam.rs:566-573 for the HF contract).
+
+    DEEPSEEK_SAM_POS_RESIZE ablation toggle (reference sam.rs:575-586): the
+    reference cannot express bicubic+antialias, so it defaults to bilinear
+    align_corners=false and offers interp_* overrides. Here the HF behavior
+    IS the default; the env var selects the reference's approximations for
+    numeric-diff debugging:
+      interp_bilinear -> bilinear, no antialias (reference default)
+      interp_bicubic  -> bicubic, no antialias
     """
+    import os
+
     _, ph, pw, c = pos.shape
     if (ph, pw) == (h, w):
         return pos
+    mode = os.environ.get("DEEPSEEK_SAM_POS_RESIZE", "")
+    if mode == "interp_bilinear":
+        method, antialias = "bilinear", False
+    elif mode == "interp_bicubic":
+        method, antialias = "bicubic", False
+    else:
+        method, antialias = "bicubic", True
     out = jax.image.resize(
-        pos.astype(jnp.float32), (1, h, w, c), method="bicubic", antialias=True
+        pos.astype(jnp.float32), (1, h, w, c), method=method, antialias=antialias
     )
     return out.astype(pos.dtype)
 

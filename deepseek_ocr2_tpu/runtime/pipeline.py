@@ -42,6 +42,21 @@ class GenerationResult:
         return self.new_tokens / self.decode_seconds if self.decode_seconds > 0 else 0.0
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _debug_lm_prefill(lm_params, cfg, embeds, cache):
+    from ..models.deepseek_v2 import lm_forward
+
+    return lm_forward(lm_params, cfg, embeds, cache, pos=0, is_prefill=True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _debug_lm_decode_step(lm_params, cfg, emb, cache, pos):
+    from ..models.deepseek_v2 import lm_forward, logits_last
+
+    hidden, cache = lm_forward(lm_params, cfg, emb, cache, pos=pos, is_prefill=False)
+    return logits_last(lm_params, hidden), cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "image_start", "act_dtype"))
 def _vision_prefill(params, cfg: OCR2Config, input_ids, image_base, patches, image_start, act_dtype):
     image_base = image_base.astype(jnp.dtype(act_dtype))
@@ -153,6 +168,8 @@ class OCR2Pipeline:
         embeds = jax.block_until_ready(
             self.build_ocr_embeds(ids, image_base, patches, image_start)
         )
+        if enabled("DEEPSEEK_DEBUG_OCR"):
+            self._debug_embeds_fingerprints(embeds)
         vision_seconds = time.perf_counter() - t0
         result = self._generate(embeds, ids, max_new_tokens, ngram_size, eos, sampling)
         result.prefill_seconds += vision_seconds
@@ -194,6 +211,47 @@ class OCR2Pipeline:
             self.params, cfg, ids_j, jnp.asarray(image_base), patches_j, image_start, self.act_dtype
         )
 
+    def _debug_embeds_fingerprints(self, embeds) -> None:
+        """DEEPSEEK_DEBUG_OCR embedding fingerprints (reference
+        main.rs:1477-1523): global stats, first-16 fingerprint, and 16-value
+        slices at HF-comparable positions 0/1/last/289/545 (289 = after the
+        288 local tokens of a 2-tile crop; 545 = after local+global)."""
+        data = np.asarray(embeds, np.float32)  # [1, S, H]
+        flat = data.reshape(-1)
+        nan = int(np.isnan(flat).sum())
+        finite = flat[~np.isnan(flat)]
+        mn = float(finite.min()) if finite.size else float("nan")
+        mx = float(finite.max()) if finite.size else float("nan")
+        mean = float(finite.mean()) if finite.size else float("nan")
+        dbg_print(
+            "DEEPSEEK_DEBUG_OCR",
+            f"inputs_embeds nan={nan} min={mn} max={mx} mean={mean}",
+        )
+        dbg_print("DEEPSEEK_DEBUG_OCR", f"inputs_embeds fingerprint={flat[:16].tolist()}")
+        s = data.shape[1]
+
+        def fp(pos):
+            return data[0, pos, :16].tolist()
+
+        if s >= 2:
+            dbg_print("DEEPSEEK_DEBUG_OCR", f"inputs_embeds[pos0]={fp(0)}")
+            dbg_print("DEEPSEEK_DEBUG_OCR", f"inputs_embeds[pos1]={fp(1)}")
+            dbg_print("DEEPSEEK_DEBUG_OCR", f"inputs_embeds[pos_last]={fp(s - 1)}")
+            if s > 289:
+                dbg_print("DEEPSEEK_DEBUG_OCR", f"inputs_embeds[pos289]={fp(289)}")
+            if s > 545:
+                dbg_print("DEEPSEEK_DEBUG_OCR", f"inputs_embeds[pos545]={fp(545)}")
+
+    def _dump_top10(self, logits_row: np.ndarray, label: str) -> None:
+        order = np.argsort(-np.nan_to_num(logits_row, nan=-np.inf))[:10]
+        toks = [self.tokenizer.decode([int(i)], skip_special_tokens=False) for i in order]
+        dbg_print("DEEPSEEK_DEBUG_TOPK", f"{label} top10 ids={order.tolist()}")
+        dbg_print("DEEPSEEK_DEBUG_TOPK", f"{label} top10 tok={toks}")
+        dbg_print(
+            "DEEPSEEK_DEBUG_TOPK",
+            f"{label} top10 logit={[round(float(logits_row[i]), 4) for i in order]}",
+        )
+
     def _debug_prefill_dumps(self, embeds) -> None:
         """Reference debug channels: step-0 top-10 logits (DEEPSEEK_DEBUG_TOPK,
         main.rs:954-980) and the eager per-layer dumps (ATTN/MOE/LAYER0)."""
@@ -202,17 +260,75 @@ class OCR2Pipeline:
         hidden = lm_forward_debug(self.params["lm"], self.cfg.lm, embeds)
         if enabled("DEEPSEEK_DEBUG_TOPK"):
             logits = np.asarray(_ll(self.params["lm"], hidden)[0], np.float32)
-            order = np.argsort(-np.nan_to_num(logits, nan=-np.inf))[:10]
-            toks = [
-                self.tokenizer.decode([int(i)], skip_special_tokens=False)
-                for i in order
-            ]
-            dbg_print("DEEPSEEK_DEBUG_TOPK", f"step0 top10 ids={order.tolist()}")
-            dbg_print("DEEPSEEK_DEBUG_TOPK", f"step0 top10 tok={toks}")
-            dbg_print(
-                "DEEPSEEK_DEBUG_TOPK",
-                f"step0 top10 logit={[round(float(logits[i]), 4) for i in order]}",
+            self._dump_top10(logits, "step0")
+
+    def _generate_debug_topk(
+        self, embeds, ids, max_new_tokens, ngram_size, eos
+    ) -> GenerationResult:
+        """Greedy decode with per-step top-10 logit dumps (DEEPSEEK_DEBUG_TOPK).
+
+        Host-stepped (one dispatch per token) so every step's logits can be
+        read back — debugging only; token-identical to the jitted loop."""
+        from ..models.deepseek_v2 import lm_forward, logits_last, vocab_size_of
+        from ..ops.sampling import greedy_pick, ngram_ban_mask
+        from .kv_cache import make_kv_cache
+
+        cfg = self.cfg
+        lm = self.params["lm"]
+        prompt_len = len(ids)
+        capacity = bucket_capacity(prompt_len + max_new_tokens)
+        vocab = vocab_size_of(lm)
+
+        t0 = time.perf_counter()
+        cache = make_kv_cache(
+            cfg.lm.num_hidden_layers,
+            1,
+            cfg.lm.num_attention_heads,
+            capacity,
+            cfg.lm.head_dim,
+            dtype=jnp.dtype(self.kv_dtype),
+        )
+        hidden, cache = _debug_lm_prefill(lm, cfg.lm, embeds, cache)
+        logits = logits_last(lm, hidden)
+        t1 = time.perf_counter()
+
+        all_ids = list(ids)
+        buf = np.zeros((capacity,), np.int32)
+        buf[:prompt_len] = ids
+        for step in range(max_new_tokens):
+            logits_h = np.asarray(logits[0], np.float32)
+            self._dump_top10(logits_h, f"step{step}")
+            ban = ngram_ban_mask(
+                jnp.asarray(buf), jnp.int32(len(all_ids)), ngram_size, vocab
             )
+            tok = int(greedy_pick(jnp.asarray(logits_h), ban))
+            buf[len(all_ids)] = tok
+            all_ids.append(tok)
+            if enabled("DEEPSEEK_DEBUG_TOKENS"):
+                piece = self.tokenizer.decode([tok], skip_special_tokens=False)
+                dbg_print(
+                    "DEEPSEEK_DEBUG_TOKENS", f"step{step} next_id={tok} tok={piece!r}"
+                )
+            if tok == eos or step == max_new_tokens - 1:
+                break
+            emb = jnp.take(lm["embed"], jnp.asarray([[tok]], jnp.int32), axis=0).astype(
+                embeds.dtype
+            ).reshape(1, 1, -1)
+            logits, cache = _debug_lm_decode_step(
+                lm, cfg.lm, emb, cache, jnp.int32(len(all_ids) - 1)
+            )
+        t2 = time.perf_counter()
+
+        gen_ids = all_ids[prompt_len:]
+        text = decode_output(self.tokenizer, gen_ids, cfg.stop_string)
+        return GenerationResult(
+            text=text,
+            token_ids=all_ids,
+            prompt_len=prompt_len,
+            prefill_seconds=t1 - t0,
+            decode_seconds=t2 - t1,
+            new_tokens=len(gen_ids),
+        )
 
     # -- shared decode ------------------------------------------------------
 
@@ -233,6 +349,11 @@ class OCR2Pipeline:
             )
         ):
             self._debug_prefill_dumps(embeds)
+        if enabled("DEEPSEEK_DEBUG_TOPK") and not sampling:
+            # Beyond-reference: the reference dumps top-10 at step 0 only
+            # (main.rs:1103-1129, 1529-1555); for HF bring-up we also dump
+            # every decode step on a host-stepped greedy loop.
+            return self._generate_debug_topk(embeds, ids, max_new_tokens, ngram_size, eos)
 
         t0 = time.perf_counter()
         embeds = jax.block_until_ready(embeds)
