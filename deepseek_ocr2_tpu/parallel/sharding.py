@@ -65,6 +65,91 @@ def lm_param_specs(cfg: DeepseekV2Config) -> Dict[str, Any]:
     }
 
 
+def lm_param_specs_q8(cfg: DeepseekV2Config, params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree for params produced by `quantize_lm_params`.
+
+    Mirrors the quantized tree for either scope ("experts" or "full"):
+    - `moe_q8` per-layer expert dicts stay expert-sharded over `mp` (EP);
+    - `q8_layers` fused streams are row-sharded over `mp` on the contraction
+      axis (wqkv/gu/shared_gu/wo/down) — the fused gate||up and q||k||v
+      column boundaries do not align with an `mp` split of the output axis,
+      so sharding the input axis keeps the post-dot `split` local and lets
+      GSPMD insert one psum per projection;
+    - `q8_lm_head` is vocab-sharded (column) like the bf16 lm_head;
+    - int8 tensors and their f32 scales shard on matching axes (scales whose
+      only non-unit axis is the *output* stay replicated under row sharding).
+
+    Multi-chip note: the fused Pallas q8 kernels are single-device custom
+    calls; under a >1-chip `mp` mesh run with DEEPSEEK_NO_PALLAS=1 so the
+    XLA dequant paths (which GSPMD partitions) are used. The multichip
+    dryrun (__graft_entry__.dryrun_multichip) validates exactly that
+    configuration token-exactly against the unsharded q8 decode.
+    """
+
+    def qlin_row():  # contraction-axis (input) sharded
+        return {"q8": P("mp", None), "scale": P(None, None)}
+
+    def qlin_col():  # output-axis sharded (scales follow the output axis)
+        return {"q8": P(None, "mp"), "scale": P(None, "mp")}
+
+    def expert_q8_specs():
+        # gate/up: q8 [E, H, I], scale [E, 1, I]; down: q8 [E, I, H].
+        return {
+            f"{name}_{part}": P("mp", None, None)
+            for name in ("gate", "up", "down")
+            for part in ("q8", "scale")
+        }
+
+    specs: Dict[str, Any] = {
+        "embed": P(None, None),
+        "norm": P(None),
+        "moe_q8": [expert_q8_specs() for _ in params["moe_q8"]],
+    }
+    full = "q8_layers" in params
+
+    dense: Dict[str, Any] = {"ln1": P(None, None), "ln2": P(None, None)}
+    moe: Dict[str, Any] = {
+        "ln1": P(None, None),
+        "ln2": P(None, None),
+        "router": P(None, None, None),
+    }
+    if not full:
+        dense["attn"] = {
+            "wq": P(None, None, "mp"),
+            "wk": P(None, None, "mp"),
+            "wv": P(None, None, "mp"),
+            "wo": P(None, "mp", None),
+        }
+        dense["mlp"] = {
+            "gate": P(None, None, "mp"),
+            "up": P(None, None, "mp"),
+            "down": P(None, "mp", None),
+        }
+        moe["attn"] = dict(dense["attn"])
+        moe["shared"] = dict(dense["mlp"])
+        specs["lm_head"] = P(None, "mp")
+    else:
+        specs["q8_layers"] = {
+            "dense": [
+                {"wqkv": qlin_row(), "wo": qlin_row(), "gu": qlin_row(), "down": qlin_row()}
+                for _ in params["q8_layers"]["dense"]
+            ],
+            "moe": [
+                {
+                    "wqkv": qlin_row(),
+                    "wo": qlin_row(),
+                    "shared_gu": qlin_row(),
+                    "shared_down": qlin_row(),
+                }
+                for _ in params["q8_layers"]["moe"]
+            ],
+        }
+        specs["q8_lm_head"] = qlin_col()
+    specs["layers_dense"] = dense
+    specs["layers_moe"] = moe
+    return specs
+
+
 def shard_params(params, mesh: Mesh, specs) -> Any:
     """Place a param pytree on the mesh with the given specs."""
     return jax.tree_util.tree_map(
