@@ -440,14 +440,21 @@ def lm_forward(
     x = embeds
     ld = cfg.first_k_dense_replace
 
-    new_k_dense, new_v_dense = [], []
+    # The stacked [L, ...] cache is carried through the layer loops and
+    # updated with dynamic_update_index_in_dim, never re-assembled: the r1
+    # design (scan over cache xs/ys + dense/moe concat) re-materialized the
+    # whole pool every decode step; in-place carry updates let XLA alias the
+    # loop buffers (VERDICT r1 #10).
+    k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos, is_prefill
+            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -456,16 +463,19 @@ def lm_forward(
             xn.reshape(b * s, h), layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
         ).reshape(b, s, h)
         x = res + mlp_out
-        new_k_dense.append(ck)
-        new_v_dense.append(cv)
 
-    def moe_layer_body(x, xs):
-        layer, ck, cv = xs
+    def moe_layer_body(carry, xs):
+        x, k_all, v_all = carry
+        layer, li = xs
+        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention(
             xn, layer["attn"], cfg, cos, sin, ck, cv, pos, is_prefill
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -480,17 +490,13 @@ def lm_forward(
             x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
         )
         x = res + (routed + shared).reshape(b, s, h)
-        return x, (ck, cv)
+        return (x, k_all, v_all), None
 
-    moe_xs = (params["layers_moe"], cache["k"][ld:], cache["v"][ld:])
-    x, (moe_k, moe_v) = jax.lax.scan(moe_layer_body, x, moe_xs)
+    moe_xs = (params["layers_moe"], jnp.arange(ld, cfg.num_hidden_layers))
+    (x, k_all, v_all), _ = jax.lax.scan(moe_layer_body, (x, k_all, v_all), moe_xs)
 
-    new_cache = {
-        "k": jnp.concatenate([jnp.stack(new_k_dense), moe_k], axis=0),
-        "v": jnp.concatenate([jnp.stack(new_v_dense), moe_v], axis=0),
-    }
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, new_cache
+    return hidden, {"k": k_all, "v": v_all}
 
 
 def _attention_decode_ragged(
@@ -562,14 +568,17 @@ def lm_decode_step_ragged(
     x = embeds
     ld = cfg.first_k_dense_replace
 
-    new_k_dense, new_v_dense = [], []
+    # In-place stacked-cache carry (see lm_forward).
+    k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos
+            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -578,16 +587,19 @@ def lm_decode_step_ragged(
             xn.reshape(b * s, h), layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
         ).reshape(b, s, h)
         x = res + mlp_out
-        new_k_dense.append(ck)
-        new_v_dense.append(cv)
 
-    def moe_layer_body(x, xs):
-        layer, ck, cv = xs
+    def moe_layer_body(carry, xs):
+        x, k_all, v_all = carry
+        layer, li = xs
+        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention_decode_ragged(
             xn, layer["attn"], cfg, cos, sin, ck, cv, pos
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -599,17 +611,13 @@ def lm_decode_step_ragged(
             x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
         )
         x = res + (routed + shared).reshape(b, s, h)
-        return x, (ck, cv)
+        return (x, k_all, v_all), None
 
-    moe_xs = (params["layers_moe"], cache["k"][ld:], cache["v"][ld:])
-    x, (moe_k, moe_v) = jax.lax.scan(moe_layer_body, x, moe_xs)
+    moe_xs = (params["layers_moe"], jnp.arange(ld, cfg.num_hidden_layers))
+    (x, k_all, v_all), _ = jax.lax.scan(moe_layer_body, (x, k_all, v_all), moe_xs)
 
-    new_cache = {
-        "k": jnp.concatenate([jnp.stack(new_k_dense), moe_k], axis=0),
-        "v": jnp.concatenate([jnp.stack(new_v_dense), moe_v], axis=0),
-    }
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, new_cache
+    return hidden, {"k": k_all, "v": v_all}
 
 
 def _q8_layer_weights(params: Params, which: str, j: int):
@@ -685,14 +693,18 @@ def _lm_forward_q8(
     b, s, h = x.shape
     decode = not is_prefill
 
-    new_k, new_v = [], []
+    # In-place stacked-cache updates (see lm_forward) — the unrolled loop
+    # previously re-stacked all L per-layer caches every step.
+    k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos, is_prefill
+            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -700,8 +712,6 @@ def _lm_forward_q8(
             xn.reshape(b * s, h), layer, cfg, None, decode=decode, is_prefill=is_prefill
         ).reshape(b, s, h)
         x = res + mlp_out
-        new_k.append(ck)
-        new_v.append(cv)
 
     for j, q8 in enumerate(params["moe_q8"]):
         li = ld + j
@@ -709,8 +719,10 @@ def _lm_forward_q8(
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, cache["k"][li], cache["v"][li], pos, is_prefill
+            xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos, is_prefill
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -718,12 +730,9 @@ def _lm_forward_q8(
             xn.reshape(b * s, h), layer, cfg, q8, decode=decode, is_prefill=is_prefill
         )
         x = res + ffn.reshape(b, s, h)
-        new_k.append(ck)
-        new_v.append(cv)
 
-    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, new_cache
+    return hidden, {"k": k_all, "v": v_all}
 
 
 def _lm_decode_step_ragged_q8(
@@ -739,14 +748,16 @@ def _lm_decode_step_ragged_q8(
     ld = cfg.first_k_dense_replace
     b, s, h = x.shape
 
-    new_k, new_v = [], []
+    k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, cache["k"][i], cache["v"][i], pos
+            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -754,8 +765,6 @@ def _lm_decode_step_ragged_q8(
             xn.reshape(b, h), layer, cfg, None, decode=True, is_prefill=False
         ).reshape(b, 1, h)
         x = res + mlp_out
-        new_k.append(ck)
-        new_v.append(cv)
 
     for j, q8 in enumerate(params["moe_q8"]):
         li = ld + j
@@ -763,19 +772,18 @@ def _lm_decode_step_ragged_q8(
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, cache["k"][li], cache["v"][li], pos
+            xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos
         )
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
         ffn = _q8_ffn(xn.reshape(b, h), layer, cfg, q8, decode=True, is_prefill=False)
         x = res + ffn.reshape(b, 1, h)
-        new_k.append(ck)
-        new_v.append(cv)
 
-    new_cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, new_cache
+    return hidden, {"k": k_all, "v": v_all}
 
 
 def logits_last(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:

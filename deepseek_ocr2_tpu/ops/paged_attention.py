@@ -135,6 +135,133 @@ def paged_decode_attention(
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), q, k_pages, v_pages)
 
 
+def _paged_kernel_pool(
+    # scalar prefetch
+    block_tables_ref,  # [B, max_pages] i32
+    seq_lens_ref,  # [B] i32
+    layer_ref,  # [1] i32
+    # inputs
+    q_ref,  # [1, Hh, D]
+    k_ref,  # [1, 1, 1, page, D] (layer selected via index_map)
+    v_ref,
+    # outputs
+    o_ref,  # [1, Hh, D]
+    # scratch
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    scale: float,
+    page_size: int,
+):
+    del layer_ref  # consumed by the index_map only
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[0, 0] = NEG_INF
+        l_ref[0, 0] = 0.0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(p * page_size < seq_len)
+    def _():
+        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
+        k = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
+        v = v_ref[0, 0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        k_pos = p * page_size + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+        s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
+
+        m_old = m_ref[0, 0]
+        m_new = jnp.maximum(m_old, jnp.max(s))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)
+        l_ref[0, 0] = alpha * l_ref[0, 0] + jnp.sum(p_ij)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[0, 0] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        denom = jnp.maximum(l_ref[0, 0], 1e-37)
+        o_ref[0, h] = (acc_ref[0] / denom).astype(o_ref.dtype)
+
+
+def paged_decode_attention_pool(
+    q: jnp.ndarray,  # [B, Hh, D]
+    k_pool: jnp.ndarray,  # [L, P, Hh, page, D] full layer-stacked pool
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages] i32
+    seq_lens: jnp.ndarray,  # [B] i32
+    layer,  # scalar i32 layer index
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paged decode attention reading straight from the full [L, P, ...] pool.
+
+    The layer index rides scalar prefetch into the BlockSpec index_map, so no
+    [P, ...] layer slice is ever materialized in HBM — the kernel DMAs exactly
+    the block-table pages of the selected layer (the per-layer slice copy was
+    the dominant decode cost for large pools; see docs/DESIGN.md).
+    """
+    b, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pool.shape[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hh, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_paged_kernel_pool, scale=scale, page_size=page_size)
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, d), jnp.float32),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        layer_arr,
+        q,
+        k_pool,
+        v_pool,
+    )
+
+
 def paged_decode_attention_xla(
     q, k_pages, v_pages, block_tables, seq_lens, *, scale
 ) -> jnp.ndarray:

@@ -24,7 +24,11 @@ import numpy as np
 from ..configs import DeepseekV2Config
 from ..ops.moe import moe_ffn_decode, route, swiglu
 from ..ops.norms import rms_norm
-from ..ops.paged_attention import paged_decode_attention, paged_decode_attention_xla
+from ..ops.paged_attention import (
+    paged_decode_attention,
+    paged_decode_attention_pool,
+    paged_decode_attention_xla,
+)
 from ..ops.flash_attention import pallas_enabled
 from ..models.deepseek_v2 import (
     _index_tree,
@@ -107,34 +111,26 @@ def write_prompt_pages_batched(
     return pool.at[:, page_ids.reshape(-1)].set(kp.astype(pool.dtype))
 
 
-def write_token_pages(
-    pool: jnp.ndarray,  # [L, P, Hh, page, D]
-    new: jnp.ndarray,  # [L, B, Hh, D] this step's K (or V)
-    block_tables: jnp.ndarray,  # [B, max_pages]
-    pos: jnp.ndarray,  # [B] position being written
-) -> jnp.ndarray:
-    page = pool.shape[3]
-    b = new.shape[1]
-    rows = jnp.arange(b)
-    page_ids = block_tables[rows, pos // page]  # [B]
-    off = pos % page
-    # scatter [L, B, Hh, D] into [:, page_ids, :, off, :]
-    return pool.at[:, page_ids, :, off, :].set(new.astype(pool.dtype))
-
-
 def _paged_attention_step(
     xn: jnp.ndarray,  # [B, 1, H] normed input
     attn,  # {"wq","wk","wv","wo"} bf16 or {"wqkv","wo"} q8
     cfg: DeepseekV2Config,
-    k_pool: jnp.ndarray,  # [P, Hh, page, D]
+    k_pool: jnp.ndarray,  # [L, P, Hh, page, D] full layer-stacked pool
     v_pool: jnp.ndarray,
+    li,  # scalar i32 layer index
     block_tables: jnp.ndarray,  # [B, max_pages]
     pos: jnp.ndarray,  # [B]
     cos_b: jnp.ndarray,
     sin_b: jnp.ndarray,
     run_pallas: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """QKV + per-slot RoPE + paged KV write + paged attention + out proj."""
+    """QKV + per-slot RoPE + paged KV write + paged attention + out proj.
+
+    Operates on the full pool in place: the one-token K/V write is a scatter
+    at [li, page, :, off, :] and the kernel reads pages straight from the
+    stacked pool via the layer index — no [P, ...] layer slice ever
+    materializes (see ops/paged_attention.paged_decode_attention_pool).
+    """
     b, _, h = xn.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
     scale = 1.0 / math.sqrt(d)
@@ -150,21 +146,23 @@ def _paged_attention_step(
     k32 = k.astype(jnp.float32) * cos_b + rot(k.astype(jnp.float32)) * sin_b
     v32 = v.astype(jnp.float32)
 
-    page = k_pool.shape[2]
+    page = k_pool.shape[3]
     rows = jnp.arange(b)
     page_ids = block_tables[rows, pos // page]
     off = pos % page
-    k_pool = k_pool.at[page_ids, :, off, :].set(k32[:, :, 0, :].astype(k_pool.dtype))
-    v_pool = v_pool.at[page_ids, :, off, :].set(v32[:, :, 0, :].astype(v_pool.dtype))
+    k_pool = k_pool.at[li, page_ids, :, off, :].set(k32[:, :, 0, :].astype(k_pool.dtype))
+    v_pool = v_pool.at[li, page_ids, :, off, :].set(v32[:, :, 0, :].astype(v_pool.dtype))
 
     q_dec = q32[:, :, 0, :]  # [B, Hh, D]
     if run_pallas:
-        ctx = paged_decode_attention(
-            q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
+        ctx = paged_decode_attention_pool(
+            q_dec, k_pool, v_pool, block_tables, seq_lens, li, scale=scale
         )
     else:
+        k_layer = jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False)
+        v_layer = jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False)
         ctx = paged_decode_attention_xla(
-            q_dec, k_pool, v_pool, block_tables, seq_lens, scale=scale
+            q_dec, k_layer, v_layer, block_tables, seq_lens, scale=scale
         )
     ctx = ctx.reshape(b, 1, h).astype(xn.dtype)
     return _o_proj(ctx, attn, decode=True), k_pool, v_pool
@@ -198,11 +196,11 @@ def lm_decode_step_paged(
     cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
     sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
 
-    def layer_step(x, layer, k_pool, v_pool):
+    def layer_step(x, layer, li, k_pool, v_pool):
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, k_pool, v_pool = _paged_attention_step(
-            xn, layer["attn"], cfg, k_pool, v_pool, block_tables, pos,
+            xn, layer["attn"], cfg, k_pool, v_pool, li, block_tables, pos,
             cos_b, sin_b, run_pallas,
         )
         x = res + attn_out
@@ -224,28 +222,26 @@ def lm_decode_step_paged(
         x = res + mlp_out.reshape(b, 1, h)
         return x, k_pool, v_pool
 
+    # Full pool carried in place (no per-layer slices, no stack/concat
+    # re-assembly — at serving pool sizes the r1 xs/ys design re-copied the
+    # whole multi-GB pool every step).
     x = embeds
-    new_k, new_v = [], []
+    k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
-        x, kp, vp = layer_step(x, layer, cache["k"][i], cache["v"][i])
-        new_k.append(kp)
-        new_v.append(vp)
+        x, k_all, v_all = layer_step(x, layer, i, k_all, v_all)
 
-    def moe_body(x, xs):
-        layer, kp, vp = xs
-        x, kp, vp = layer_step(x, layer, kp, vp)
-        return x, (kp, vp)
+    def moe_body(carry, xs):
+        x, k_all, v_all = carry
+        layer, li = xs
+        x, k_all, v_all = layer_step(x, layer, li, k_all, v_all)
+        return (x, k_all, v_all), None
 
-    moe_xs = (params["layers_moe"], cache["k"][ld:], cache["v"][ld:])
-    x, (mk, mv) = jax.lax.scan(moe_body, x, moe_xs)
+    moe_xs = (params["layers_moe"], jnp.arange(ld, cfg.num_hidden_layers))
+    (x, k_all, v_all), _ = jax.lax.scan(moe_body, (x, k_all, v_all), moe_xs)
 
-    cache = {
-        "k": jnp.concatenate([jnp.stack(new_k), mk], axis=0),
-        "v": jnp.concatenate([jnp.stack(new_v), mv], axis=0),
-    }
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, cache
+    return hidden, {"k": k_all, "v": v_all}
 
 
 def _lm_decode_step_paged_q8(
@@ -269,11 +265,11 @@ def _lm_decode_step_paged_q8(
     cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
     sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
 
-    def layer_step(x, layer, q8_experts, k_pool, v_pool):
+    def layer_step(x, layer, li, q8_experts, k_pool, v_pool):
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         attn_out, k_pool, v_pool = _paged_attention_step(
-            xn, layer["attn"], cfg, k_pool, v_pool, block_tables, pos,
+            xn, layer["attn"], cfg, k_pool, v_pool, li, block_tables, pos,
             cos_b, sin_b, run_pallas,
         )
         x = res + attn_out
@@ -286,19 +282,14 @@ def _lm_decode_step_paged_q8(
         return x, k_pool, v_pool
 
     x = embeds
-    new_k, new_v = [], []
+    k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
-        x, kp, vp = layer_step(x, layer, None, cache["k"][i], cache["v"][i])
-        new_k.append(kp)
-        new_v.append(vp)
+        x, k_all, v_all = layer_step(x, layer, i, None, k_all, v_all)
     for j, q8 in enumerate(params["moe_q8"]):
         li = ld + j
         layer = _q8_layer_weights(params, "moe", j)
-        x, kp, vp = layer_step(x, layer, q8, cache["k"][li], cache["v"][li])
-        new_k.append(kp)
-        new_v.append(vp)
+        x, k_all, v_all = layer_step(x, layer, li, q8, k_all, v_all)
 
-    cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, cache
+    return hidden, {"k": k_all, "v": v_all}

@@ -96,3 +96,34 @@ def test_paged_decode_step_matches_ragged():
         logits = dsv2.logits_last(params, h_ref)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pos = pos + 1
+
+
+def test_paged_pool_kernel_matches_layer_slice():
+    """Pool-reading kernel (layer index via scalar prefetch) == slicing the
+    layer out of the pool and running the 4D kernel's XLA oracle."""
+    from deepseek_ocr2_tpu.ops.paged_attention import paged_decode_attention_pool
+
+    n_layers, b, hh, d, page, n_pool, max_pages = 3, 2, 4, 128, 128, 16, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, hh, d), jnp.float32)
+    k_pool = jax.random.normal(ks[1], (n_layers, n_pool, hh, page, d), jnp.float32)
+    v_pool = jax.random.normal(ks[2], (n_layers, n_pool, hh, page, d), jnp.float32)
+    rng = np.random.default_rng(3)
+    tables = jnp.asarray(
+        rng.permutation(n_pool)[: b * max_pages].reshape(b, max_pages), jnp.int32
+    )
+    seq_lens = jnp.asarray([page + 3, max_pages * page], jnp.int32)
+
+    for li in range(n_layers):
+        want = np.asarray(
+            paged_decode_attention_xla(
+                q, k_pool[li], v_pool[li], tables, seq_lens, scale=1 / math.sqrt(d)
+            )
+        )
+        got = np.asarray(
+            paged_decode_attention_pool(
+                q, k_pool, v_pool, tables, seq_lens, jnp.int32(li),
+                scale=1 / math.sqrt(d), interpret=INTERPRET,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5, err_msg=f"layer {li}")
