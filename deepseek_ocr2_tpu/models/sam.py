@@ -241,8 +241,21 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     return rel[idx.reshape(-1)].reshape(q_size, k_size, rel.shape[1])
 
 
-def _attention(x: jnp.ndarray, attn: Params, num_heads: int) -> jnp.ndarray:
-    """Decomposed rel-pos attention on [B, H, W, C] (sam.rs:345-411)."""
+_PAD_NEG = -1.0e30  # key-padding mask for padded window tokens (exp -> exactly 0)
+
+
+def _attention(
+    x: jnp.ndarray, attn: Params, num_heads: int, valid_hw: Tuple[int, int] = None
+) -> jnp.ndarray:
+    """Decomposed rel-pos attention on [B, H, W, C] (sam.rs:345-411).
+
+    valid_hw=(vh, vw): x is a window spatially zero-padded from (vh, vw) to
+    (H, W) so that H*W meets the fused kernel's lane constraints (e.g. the
+    14x14=196-token SAM windows padded to 16x16=256). Padded positions are
+    excluded as keys by folding -1e30 into the decomposed rel bias (the one
+    term that already varies per key); padded query rows produce well-defined
+    garbage the caller slices off.
+    """
     b, h, w, dim = x.shape
     hd = dim // num_heads
     l = h * w
@@ -258,11 +271,18 @@ def _attention(x: jnp.ndarray, attn: Params, num_heads: int) -> jnp.ndarray:
     v32 = v.astype(jnp.float32)
 
     # Decomposed relative-position bias (from unscaled q, sam.rs:374-391).
-    rh = get_rel_pos(h, h, attn["rel_h"])  # [H, H, hd] f32
-    rw = get_rel_pos(w, w, attn["rel_w"])  # [W, W, hd] f32
+    vh, vw = valid_hw if valid_hw is not None else (h, w)
+    rh = get_rel_pos(vh, vh, attn["rel_h"])  # [vh, vh, hd] f32
+    rw = get_rel_pos(vw, vw, attn["rel_w"])  # [vw, vw, hd] f32
+    if (vh, vw) != (h, w):
+        rh = jnp.pad(rh, ((0, h - vh), (0, h - vh), (0, 0)))
+        rw = jnp.pad(rw, ((0, w - vw), (0, w - vw), (0, 0)))
     r_q = q32.reshape(b * num_heads, h, w, hd)
     rel_h = jnp.einsum("nhwc,hkc->nhwk", r_q, rh)  # [B*heads, H, W, Hk]
     rel_w = jnp.einsum("nhwc,wkc->nhwk", r_q, rw)  # [B*heads, H, W, Wk]
+    if (vh, vw) != (h, w):
+        rel_h = jnp.where(jnp.arange(h) >= vh, jnp.float32(_PAD_NEG), rel_h)
+        rel_w = jnp.where(jnp.arange(w) >= vw, jnp.float32(_PAD_NEG), rel_w)
 
     scale = 1.0 / math.sqrt(hd)
     if pallas_enabled() and l % 128 == 0 and l >= 256:
@@ -291,13 +311,31 @@ def _attention(x: jnp.ndarray, attn: Params, num_heads: int) -> jnp.ndarray:
     return ctx @ attn["proj_w"].astype(x.dtype) + attn["proj_b"].astype(x.dtype)
 
 
+def _window_pad_target(window: int) -> int:
+    """Smallest padded side t (window <= t <= window+2) whose t*t token count
+    meets the fused kernel's constraints (multiple of 128, >= 256); 0 if none
+    cheap enough. 14 -> 16 (196 -> 256 tokens, +31% FLOPs for a fused-VMEM
+    attention instead of the HBM-bound XLA path)."""
+    for t in range(window, window + 3):
+        if t * t % 128 == 0 and t * t >= 256:
+            return t
+    return 0
+
+
 def _block(x: jnp.ndarray, blk: Params, cfg: SamConfig, window: int) -> jnp.ndarray:
     shortcut = x
     x = layer_norm(x, blk["ln1"]["w"], blk["ln1"]["b"], cfg.layer_norm_eps)
     if window > 0:
         _, h, w, _ = x.shape
         wins, pad_hw = window_partition(x, window)
-        wins = _attention(wins, blk["attn"], cfg.num_heads)
+        t = _window_pad_target(window)
+        if t > window and pallas_enabled():
+            pad = t - window
+            wins = jnp.pad(wins, ((0, 0), (0, pad), (0, pad), (0, 0)))
+            wins = _attention(wins, blk["attn"], cfg.num_heads, valid_hw=(window, window))
+            wins = wins[:, :window, :window, :]
+        else:
+            wins = _attention(wins, blk["attn"], cfg.num_heads)
         x = window_unpartition(wins, window, pad_hw, (h, w))
     else:
         x = _attention(x, blk["attn"], cfg.num_heads)

@@ -84,3 +84,27 @@ def test_relpos_attention(side):
         mha_pallas(q, k, v, scale=scale, rel_h=rel_h, rel_w=rel_w, interpret=INTERPRET)
     )
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_sam_padded_window_attention():
+    """SAM 14x14 windows padded to 16x16 for the fused kernel: the padded
+    path (keys masked through the rel bias) must match the unpadded XLA
+    reference exactly on the valid region."""
+    from deepseek_ocr2_tpu.models.sam import _attention
+
+    heads, hd, win, pad = 2, 64, 14, 16
+    dim = heads * hd
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    wins = jax.random.normal(ks[0], (3, win, win, dim), jnp.float32)
+    attn = {
+        "qkv_w": jax.random.normal(ks[1], (dim, 3 * dim), jnp.float32) * 0.05,
+        "qkv_b": jax.random.normal(ks[2], (3 * dim,), jnp.float32) * 0.02,
+        "proj_w": jax.random.normal(ks[3], (dim, dim), jnp.float32) * 0.05,
+        "proj_b": jnp.zeros((dim,), jnp.float32),
+        "rel_h": jax.random.normal(ks[0], (2 * win - 1, hd), jnp.float32) * 0.1,
+        "rel_w": jax.random.normal(ks[1], (2 * win - 1, hd), jnp.float32) * 0.1,
+    }
+    want = np.asarray(_attention(wins, attn, heads))  # L=196: XLA path
+    padded = jnp.pad(wins, ((0, 0), (0, pad - win), (0, pad - win), (0, 0)))
+    got = np.asarray(_attention(padded, attn, heads, valid_hw=(win, win)))
+    np.testing.assert_allclose(got[:, :win, :win, :], want, rtol=3e-5, atol=3e-5)
