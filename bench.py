@@ -37,6 +37,33 @@ BATCH = 32
 MAX_NEW = 32
 VISION_CHUNK = 8  # pages per vision-encoder dispatch (Pallas attention keeps scores in VMEM)
 NGRAM = 20
+V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth (roofline denominator)
+
+
+def _decode_hbm_bytes_per_token(lm, cfg, kv_len: int) -> float:
+    """HBM bytes streamed per decode step at batch 1 (docs/DESIGN.md cost
+    model, computed from the live param tree so quantization/dtype changes
+    are reflected): every weight is read once except the embedding (gather,
+    one row) and routed experts (top-k of E), plus the KV-cache read."""
+    expert_frac = cfg.num_experts_per_tok / cfg.n_routed_experts
+
+    def nbytes(tree) -> float:
+        return float(sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree)))
+
+    total = 0.0
+    for key, sub in lm.items():
+        if key == "embed":
+            continue
+        if key == "moe_q8":
+            total += nbytes(sub) * expert_frac
+        elif key == "layers_moe":
+            for k2, s2 in sub.items():
+                total += nbytes(s2) * (expert_frac if k2 == "experts" else 1.0)
+        else:
+            total += nbytes(sub)
+    kv_itemsize = 2  # bf16 cache
+    total += 2 * cfg.num_hidden_layers * cfg.num_attention_heads * cfg.head_dim * kv_len * kv_itemsize
+    return total
 
 
 def build_prompt(cfg: OCR2Config):
@@ -107,31 +134,39 @@ def main() -> None:
     pages_per_sec = BATCH / float(np.median(times))
 
     # Decode tokens/sec: difference method over two budgets.
-    def decode_run(max_new, cap):
-        embeds = vision_prefill_chunk(params, ids_b[:1], images[:1])
-        tokens, _ = greedy_generate(
-            params["lm"],
-            cfg.lm,
-            embeds,
-            ids_b[:1],
-            max_new_tokens=max_new,
-            ngram_size=NGRAM,
-            eos_id=cfg.eos_token_id,
-            capacity=cap,
-            kv_dtype="bfloat16",
-        )
-        return np.asarray(tokens[:, -1])
+    def make_decode_run(lm_params, b):
+        def decode_run(max_new, cap):
+            embeds = vision_prefill_chunk(params, ids_b[:b], images[:b])
+            tokens, _ = greedy_generate(
+                lm_params,
+                cfg.lm,
+                embeds,
+                ids_b[:b],
+                max_new_tokens=max_new,
+                ngram_size=NGRAM,
+                eos_id=cfg.eos_token_id,
+                capacity=cap,
+                kv_dtype="bfloat16",
+            )
+            return np.asarray(tokens[:, -1])
+
+        return decode_run
+
+    def measure_decode_tps(lm_params, b):
+        run = make_decode_run(lm_params, b)
+        run(8, cap2)
+        run(136, cap2)
+        t0 = time.perf_counter()
+        run(8, cap2)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(136, cap2)
+        t_long = time.perf_counter() - t0
+        return b * 128.0 / max(t_long - t_short, 1e-9)
 
     cap2 = bucket_capacity(prompt_len + 160)
-    decode_run(8, cap2)
-    decode_run(136, cap2)
-    t0 = time.perf_counter()
-    decode_run(8, cap2)
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    decode_run(136, cap2)
-    t_long = time.perf_counter() - t0
-    decode_tps = 128.0 / max(t_long - t_short, 1e-9)
+    decode_tps = measure_decode_tps(params["lm"], 1)
+    decode_tps_b8 = measure_decode_tps(params["lm"], 8)
 
     # First-token latency: single-page vision prefill + LM prefill + argmax.
     @jax.jit
@@ -159,36 +194,20 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     first_token_ms = float(np.median(lat)) * 1e3
 
-    # Weight-only int8 MoE decode (fused Pallas dequant kernel).
+    # Weight-only int8 decode, full scope (fused Pallas dequant kernels over
+    # attention/MLP/shared/lm_head + routed experts — the shipping config).
     from deepseek_ocr2_tpu.models.deepseek_v2 import quantize_lm_params
 
-    lm_q8 = quantize_lm_params(params["lm"])
+    lm_q8 = quantize_lm_params(params["lm"], scope="full")
+    decode_tps_q8 = measure_decode_tps(lm_q8, 1)
 
-    def decode_run_q8(max_new, cap):
-        embeds = vision_prefill_chunk(params, ids_b[:1], images[:1])
-        tokens, _ = greedy_generate(
-            lm_q8,
-            cfg.lm,
-            embeds,
-            ids_b[:1],
-            max_new_tokens=max_new,
-            ngram_size=NGRAM,
-            eos_id=cfg.eos_token_id,
-            capacity=cap,
-            kv_dtype="bfloat16",
-        )
-        return np.asarray(tokens[:, -1])
-
-    decode_run_q8(8, cap2)
-    decode_run_q8(136, cap2)
-    t0 = time.perf_counter()
-    decode_run_q8(8, cap2)
-    t_short_q = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    decode_run_q8(136, cap2)
-    t_long_q = time.perf_counter() - t0
-    decode_tps_q8 = 128.0 / max(t_long_q - t_short_q, 1e-9)
-    del lm_q8
+    # HBM-bandwidth utilization (roofline): byte model / measured step time.
+    kv_len_mid = prompt_len + 80  # midpoint of the 128-token difference window
+    bw_util = lambda tps, lm: (
+        _decode_hbm_bytes_per_token(lm, cfg.lm, kv_len_mid) * tps / (V5E_HBM_GBPS * 1e9)
+    )
+    hbm_util = bw_util(decode_tps, params["lm"])
+    hbm_util_q8 = bw_util(decode_tps_q8, lm_q8)
 
     # Crop-mode config (#3): 2x1 dynamic tiling + global view, batch 4.
     crop_b = 4
@@ -211,10 +230,10 @@ def main() -> None:
     def crop_prefill(params, ids_chunk, imgs, patches):
         return ocr2.ocr_prefill_embeds_batched(params, cfg, ids_chunk, imgs, patches, 1)
 
-    def crop_batch():
+    def crop_batch(lm_params):
         embeds = crop_prefill(params, ids_cb, images[:crop_b], crops)
         tokens, _ = greedy_generate(
-            params["lm"],
+            lm_params,
             cfg.lm,
             embeds,
             ids_cb,
@@ -226,13 +245,18 @@ def main() -> None:
         )
         return np.asarray(tokens[:, -1])
 
-    crop_batch()
-    times_c = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        crop_batch()
-        times_c.append(time.perf_counter() - t0)
-    crop_pages_per_sec = crop_b / float(np.median(times_c))
+    def measure_crop(lm_params):
+        crop_batch(lm_params)
+        times_c = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            crop_batch(lm_params)
+            times_c.append(time.perf_counter() - t0)
+        return crop_b / float(np.median(times_c))
+
+    crop_pages_per_sec = measure_crop(params["lm"])
+    crop_pages_per_sec_q8 = measure_crop(lm_q8)
+    del lm_q8
 
     target_per_chip = 20.0 / 8.0
     print(
@@ -243,9 +267,13 @@ def main() -> None:
                 "unit": "pages/s (no-crop, 32 new tokens, batch 32)",
                 "vs_baseline": round(pages_per_sec / target_per_chip, 3),
                 "decode_tok_per_sec": round(decode_tps, 1),
+                "decode_tok_per_sec_b8": round(decode_tps_b8, 1),
                 "decode_tok_per_sec_int8": round(decode_tps_q8, 1),
+                "hbm_bw_util_pct": round(100 * hbm_util, 1),
+                "hbm_bw_util_pct_int8": round(100 * hbm_util_q8, 1),
                 "first_token_ms": round(first_token_ms, 1),
                 "crop_pages_per_sec": round(crop_pages_per_sec, 3),
+                "crop_pages_per_sec_int8": round(crop_pages_per_sec_q8, 3),
                 "device": str(jax.devices()[0]),
             }
         )
