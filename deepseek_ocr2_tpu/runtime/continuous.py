@@ -7,10 +7,16 @@ decoder never idles on stragglers. The reference has nothing comparable
 (batch=1, deepseek_ocr2.rs:140).
 
 Memory model (vs the r1 contiguous slots x capacity cache): K/V lives in
-fixed-size pages drawn from a shared pool (runtime/paged_kv.py). A page's
-allocation is exactly ceil((prompt + max_new) / page_size) pages — bounded by
-its own budget, not the engine-wide max — and every page returns to the pool
-at harvest, so the pool can be sized for tokens actually in flight.
+fixed-size pages drawn from a shared pool (runtime/paged_kv.py). Allocation
+is lazy: admission claims only the pages the prompt + first decode chunk
+need, and before every chunk each active slot is topped up to cover the next
+chunk (bounded by its own prompt+max_new budget, never the engine-wide max).
+Pages return to the pool at harvest, so pool occupancy tracks tokens
+actually in flight — sequences that stop early at EOS never claim their
+worst case. If growth finds the pool empty, the youngest active slot is
+preempted (pages freed, page re-queued for re-admission; greedy decode and
+the per-page sampling streams are deterministic, so a re-admitted page
+reproduces its tokens exactly).
 
 Device/host split:
 - admission (batched): pending pages are grouped by crop grid and admitted
@@ -232,6 +238,12 @@ class ContinuousOCREngine:
         self.max_pages_per_slot = pages_for(capacity, page_size)
         # +1: page 0 is the reserved scratch page.
         self.num_pages = pages_for(self.pool_tokens, page_size) + 1
+        if self.num_pages - 1 < self.max_pages_per_slot:
+            raise ValueError(
+                f"pool_tokens={self.pool_tokens} cannot hold even one slot at "
+                f"capacity {capacity} (page_size {page_size}); preemption "
+                f"could not guarantee progress"
+            )
 
     def run(
         self,
@@ -281,9 +293,11 @@ class ContinuousOCREngine:
         slot_page: Dict[int, int] = {}
         slot_pages: Dict[int, List[int]] = {}
         prompt_lens: Dict[int, int] = {}
+        slot_limits: Dict[int, int] = {}
         admit_t: Dict[int, float] = {}
         prefill_t: Dict[int, float] = {}
         results: List[Optional[GenerationResult]] = [None] * len(images)
+        n_preempted = 0
 
         def admit_group(slot_ids: List[int], page_idxs: List[int]):
             """One batched vision + LM prefill + pool scatter for a group of
@@ -297,7 +311,11 @@ class ContinuousOCREngine:
             s = len(ids)
             assert s + max_new_tokens <= tok_cap, "engine capacity too small"
             n_prompt_pages = pages_for(s, page)
-            n_total_pages = pages_for(s + max_new_tokens, page)
+            # Lazy allocation: prompt + first token + first chunk only;
+            # grow_pages() tops slots up before every later chunk.
+            n_alloc_pages = pages_for(
+                min(s + 1 + self.chunk_steps, s + max_new_tokens), page
+            )
             prefill_cap = n_prompt_pages * page
 
             bases = np.concatenate([p[0] for p in pre])  # [G, 3, S, S]
@@ -330,13 +348,14 @@ class ContinuousOCREngine:
             # Per-group page allocation + block tables (host).
             page_ids = np.zeros((g, n_prompt_pages), np.int32)
             for row, (slot, p_idx) in enumerate(zip(slot_ids, page_idxs)):
-                pages = alloc.allocate(n_total_pages)
+                pages = alloc.allocate(n_alloc_pages)
                 slot_pages[slot] = pages
                 block_tables_np[slot] = 0
                 block_tables_np[slot, : len(pages)] = pages
                 page_ids[row] = pages[:n_prompt_pages]
                 slot_page[slot] = p_idx
                 prompt_lens[slot] = s
+                slot_limits[slot] = s + max_new_tokens
 
             group_tokens = np.zeros((g, tok_cap), np.int32)
             group_tokens[:, :s] = np.asarray(ids, np.int32)
@@ -397,11 +416,13 @@ class ContinuousOCREngine:
                 group = [p for p in take if preprocessed[p][2] == ratio0]
                 g = _pow2_at_most(len(group))
                 group = group[:g]
-                # Check pool headroom for the whole group.
+                # Check pool headroom for the whole group (lazy: prompt +
+                # first token + first chunk; grow_pages covers the rest).
                 ids, _, _ = tokenize_with_image(
                     pipe.tokenizer, prompt, cfg, ratio0
                 )
-                need = pages_for(len(ids) + max_new_tokens, page) * g
+                s0 = len(ids)
+                need = pages_for(min(s0 + 1 + self.chunk_steps, s0 + max_new_tokens), page) * g
                 if need > alloc.n_free:
                     if not slot_page:
                         raise RuntimeError(
@@ -416,6 +437,47 @@ class ContinuousOCREngine:
                     pending.remove(p)
                 free = free[g:]
 
+        def preempt(slot: int):
+            """Evict an active slot: free its pages, re-queue its page for
+            re-admission (deterministic decode reproduces its tokens)."""
+            nonlocal done, n_preempted
+            page_idx = slot_page.pop(slot)
+            alloc.release(slot_pages.pop(slot))
+            block_tables_np[slot] = 0
+            prompt_lens.pop(slot)
+            slot_limits.pop(slot)
+            admit_t.pop(slot)
+            prefill_t.pop(slot)
+            done_np[slot] = True
+            done = done.at[slot].set(True)
+            pending.insert(0, page_idx)
+            n_preempted += 1
+
+        def grow_pages():
+            """Top every active slot's block table up to the pages the next
+            chunk will write. On pool exhaustion, preempt youngest-first."""
+            for slot in sorted(slot_page, key=lambda s2: admit_t[s2]):
+                if done_np[slot]:
+                    continue
+                target = min(int(lens_np[slot]) + self.chunk_steps, slot_limits[slot])
+                needed = pages_for(target, page)
+                have = len(slot_pages[slot])
+                if needed <= have:
+                    continue
+                while alloc.n_free < needed - have:
+                    victims = [
+                        s2 for s2 in slot_page if s2 != slot and not done_np[s2]
+                    ]
+                    if not victims:
+                        raise RuntimeError(
+                            "KV page pool exhausted with one active slot; "
+                            "pool_tokens is below a single sequence's budget"
+                        )
+                    preempt(max(victims, key=lambda s2: admit_t[s2]))
+                extra = alloc.allocate(needed - have)
+                slot_pages[slot].extend(extra)
+                block_tables_np[slot, have:needed] = extra
+
         def harvest():
             """Finalize finished slots; free their pages."""
             nonlocal tokens
@@ -426,6 +488,7 @@ class ContinuousOCREngine:
                     total = int(lens_np[slot])
                     all_ids = np.asarray(tokens[slot, :total]).tolist()
                     p_len = prompt_lens.pop(slot)
+                    slot_limits.pop(slot)
                     gen_ids = all_ids[p_len:]
                     text = decode_output(pipe.tokenizer, gen_ids, cfg.stop_string)
                     alloc.release(slot_pages.pop(slot))
@@ -440,6 +503,10 @@ class ContinuousOCREngine:
                     )
 
         while pending or slot_page:
+            # In-flight slots get pages first; admission takes the leftovers
+            # (admitting into pages a live slot is about to need would just
+            # preempt the new arrival again).
+            grow_pages()
             admit_pending()
             if slot_page and not all(done_np[s] for s in slot_page):
                 cache, tokens, cur_lens, done, status = decode_chunk(
@@ -462,4 +529,5 @@ class ContinuousOCREngine:
                 done_np[:] = status_h[b:].astype(bool)
             harvest()
 
+        self.last_preempted = n_preempted
         return results  # type: ignore[return-value]

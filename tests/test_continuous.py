@@ -148,3 +148,34 @@ def test_continuous_per_page_metrics(setup):
     for r in results:
         assert r.prefill_seconds > 0
         assert r.decode_seconds > 0
+
+
+def test_continuous_page_growth_preemption(setup):
+    """Lazy page allocation: admission claims prompt+first-chunk pages only,
+    mid-decode growth allocates the rest, and on pool exhaustion the youngest
+    slot is preempted and re-admitted. Results stay token-exact (greedy
+    decode is deterministic, so the re-run reproduces the evicted tokens)."""
+    from deepseek_ocr2_tpu.runtime.paged_kv import pages_for
+    from deepseek_ocr2_tpu.utils.tokenizer import tokenize_with_image
+
+    cfg, pipe = setup
+    pages = _pages(2)[1:2] * 2  # two identical no-crop pages
+    ids, _, _ = tokenize_with_image(pipe.tokenizer, cfg.default_ocr_prompt, cfg, (1, 1))
+    s = len(ids)
+    page_size, max_new, chunk = 16, 64, 8
+    assert s + max_new <= 128
+    per_admit = pages_for(min(s + 1 + chunk, s + max_new), page_size)
+    full = pages_for(s + max_new, page_size)
+    # Both slots can admit and partially grow, but not both reach full size.
+    pool_pages = max(2 * per_admit + (full - per_admit) + (full - per_admit) // 2,
+                     pages_for(128, page_size))
+    engine = ContinuousOCREngine(
+        pipe, slots=2, capacity=128, chunk_steps=chunk,
+        page_size=page_size, pool_tokens=pool_pages * page_size,
+    )
+    results = engine.run(pages, max_new_tokens=max_new, ngram_size=3)
+    assert engine.last_preempted >= 1, "pool sizing did not force a preemption"
+    singles = [pipe.generate_ocr(p, max_new_tokens=max_new, ngram_size=3) for p in pages]
+    for ref, b in zip(singles, results):
+        assert b is not None
+        assert b.token_ids == ref.token_ids
