@@ -9,6 +9,14 @@ Capability-parity with /root/reference/src/model/qwen2.rs, TPU-first:
   the learned query table selected by token count (144 for 768-crops, 256 for
   the 1024 global view); output is the query half [B, n_query, C]
   (qwen2.rs:377-400).
+
+MXU utilization: the HF checkpoint stores q/k/v and gate/up as separate
+matrices; the k/v projections are only num_kv_heads*head_dim wide (one MXU
+tile), so running them as separate GEMMs wastes the systolic array. Params
+are fused at load time into one qkv stream [H, H+2*KVH] and one gate||up
+stream [H, 2*I] (output columns are independent, so the fused GEMM is
+bit-exact vs the split form); `flat_from_params` splits them back to the HF
+layout for checkpoint saving.
 """
 
 from __future__ import annotations
@@ -43,15 +51,10 @@ def init_params(cfg: Qwen2Config, key: jax.Array, dtype=jnp.float32) -> Params:
     layers = {
         "ln1": jnp.ones((L, h), dtype),
         "ln2": jnp.ones((L, h), dtype),
-        "wq": rnd(L, h, h),
-        "bq": jnp.zeros((L, h), dtype),
-        "wk": rnd(L, h, kvh),
-        "bk": jnp.zeros((L, kvh), dtype),
-        "wv": rnd(L, h, kvh),
-        "bv": jnp.zeros((L, kvh), dtype),
+        "wqkv": rnd(L, h, h + 2 * kvh),
+        "bqkv": jnp.zeros((L, h + 2 * kvh), dtype),
         "wo": rnd(L, h, h),
-        "gate": rnd(L, h, i),
-        "up": rnd(L, h, i),
+        "gateup": rnd(L, h, 2 * i),
         "down": jax.random.normal(next(ks), (L, i, h), dtype) / math.sqrt(i),
     }
     return {
@@ -74,18 +77,24 @@ def params_from_flat(
         arrs = [t(fmt.format(i=i), transpose=transpose) for i in range(cfg.num_hidden_layers)]
         return np.stack(arrs) if all(a is not None for a in arrs) else None
 
+    def fused(fmts, transpose=False):
+        parts = [stacked(f, transpose=transpose) for f in fmts]
+        return np.concatenate(parts, axis=-1) if all(p is not None for p in parts) else None
+
     layers = {
         "ln1": stacked(mp + "layers.{i}.input_layernorm.weight"),
         "ln2": stacked(mp + "layers.{i}.post_attention_layernorm.weight"),
-        "wq": stacked(mp + "layers.{i}.self_attn.q_proj.weight", transpose=True),
-        "bq": stacked(mp + "layers.{i}.self_attn.q_proj.bias"),
-        "wk": stacked(mp + "layers.{i}.self_attn.k_proj.weight", transpose=True),
-        "bk": stacked(mp + "layers.{i}.self_attn.k_proj.bias"),
-        "wv": stacked(mp + "layers.{i}.self_attn.v_proj.weight", transpose=True),
-        "bv": stacked(mp + "layers.{i}.self_attn.v_proj.bias"),
+        # q||k||v fused along the output axis (see module docstring).
+        "wqkv": fused(
+            [mp + f"layers.{{i}}.self_attn.{n}_proj.weight" for n in "qkv"],
+            transpose=True,
+        ),
+        "bqkv": fused([mp + f"layers.{{i}}.self_attn.{n}_proj.bias" for n in "qkv"]),
         "wo": stacked(mp + "layers.{i}.self_attn.o_proj.weight", transpose=True),
-        "gate": stacked(mp + "layers.{i}.mlp.gate_proj.weight", transpose=True),
-        "up": stacked(mp + "layers.{i}.mlp.up_proj.weight", transpose=True),
+        "gateup": fused(
+            [mp + "layers.{i}.mlp.gate_proj.weight", mp + "layers.{i}.mlp.up_proj.weight"],
+            transpose=True,
+        ),
         "down": stacked(mp + "layers.{i}.mlp.down_proj.weight", transpose=True),
     }
     params = {
@@ -109,19 +118,24 @@ def flat_from_params(
         flat[name] = np.ascontiguousarray(a.T) if transpose else a
 
     layers = params["layers"]
+    h = cfg.hidden_size
+    kvh = cfg.num_key_value_heads * cfg.head_dim
+    i_dim = cfg.intermediate_size
     for i in range(cfg.num_hidden_layers):
         lp = f"{mp}layers.{i}."
         put(lp + "input_layernorm.weight", layers["ln1"][i])
         put(lp + "post_attention_layernorm.weight", layers["ln2"][i])
-        put(lp + "self_attn.q_proj.weight", layers["wq"][i], transpose=True)
-        put(lp + "self_attn.q_proj.bias", layers["bq"][i])
-        put(lp + "self_attn.k_proj.weight", layers["wk"][i], transpose=True)
-        put(lp + "self_attn.k_proj.bias", layers["bk"][i])
-        put(lp + "self_attn.v_proj.weight", layers["wv"][i], transpose=True)
-        put(lp + "self_attn.v_proj.bias", layers["bv"][i])
+        wqkv, bqkv = np.asarray(layers["wqkv"][i]), np.asarray(layers["bqkv"][i])
+        put(lp + "self_attn.q_proj.weight", wqkv[:, :h], transpose=True)
+        put(lp + "self_attn.q_proj.bias", bqkv[:h])
+        put(lp + "self_attn.k_proj.weight", wqkv[:, h : h + kvh], transpose=True)
+        put(lp + "self_attn.k_proj.bias", bqkv[h : h + kvh])
+        put(lp + "self_attn.v_proj.weight", wqkv[:, h + kvh :], transpose=True)
+        put(lp + "self_attn.v_proj.bias", bqkv[h + kvh :])
         put(lp + "self_attn.o_proj.weight", layers["wo"][i], transpose=True)
-        put(lp + "mlp.gate_proj.weight", layers["gate"][i], transpose=True)
-        put(lp + "mlp.up_proj.weight", layers["up"][i], transpose=True)
+        gu = np.asarray(layers["gateup"][i])
+        put(lp + "mlp.gate_proj.weight", gu[:, :i_dim], transpose=True)
+        put(lp + "mlp.up_proj.weight", gu[:, i_dim:], transpose=True)
         put(lp + "mlp.down_proj.weight", layers["down"][i], transpose=True)
     put(mp + "norm.weight", params["norm"])
     put(prefix + "query_768.weight", params["query_768"])
@@ -138,9 +152,11 @@ def _layer(
 
     res = x
     xn = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (xn @ lp["wq"] + lp["bq"].astype(dt)).reshape(b, s, nh, d).transpose(0, 2, 1, 3)
-    k = (xn @ lp["wk"] + lp["bk"].astype(dt)).reshape(b, s, nkv, d).transpose(0, 2, 1, 3)
-    v = (xn @ lp["wv"] + lp["bv"].astype(dt)).reshape(b, s, nkv, d).transpose(0, 2, 1, 3)
+    qkv = xn @ lp["wqkv"] + lp["bqkv"].astype(dt)  # [B, S, H + 2*KVH]
+    q = qkv[..., :h].reshape(b, s, nh, d).transpose(0, 2, 1, 3)
+    kvh = nkv * d
+    k = qkv[..., h : h + kvh].reshape(b, s, nkv, d).transpose(0, 2, 1, 3)
+    v = qkv[..., h + kvh :].reshape(b, s, nkv, d).transpose(0, 2, 1, 3)
 
     # RoPE + attention in f32 (reference qwen2.rs:198-206).
     q32, k32 = apply_rope(q, k, cos, sin, start=0)
@@ -164,8 +180,10 @@ def _layer(
 
     res = x
     xn = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    gate = xn @ lp["gate"]
-    act = jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * (xn @ lp["up"])
+    gu = xn @ lp["gateup"]  # [B, S, 2*I]
+    i_dim = gu.shape[-1] // 2
+    gate, up = gu[..., :i_dim], gu[..., i_dim:]
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(dt) * up
     return res + act @ lp["down"]
 
 
