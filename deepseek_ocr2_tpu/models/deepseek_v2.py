@@ -414,10 +414,11 @@ def vocab_size_of(params: Params) -> int:
 
 
 def _dequantize_experts(q8, dtype):
-    return {
-        name: (q8[f"{name}_q8"].astype(jnp.float32) * q8[f"{name}_scale"]).astype(dtype)
-        for name in ("gate", "up", "down")
-    }
+    """Rebuild gate/up/down from the fused gu stream for the XLA MoE paths."""
+    gu = (q8["gu_q8"].astype(jnp.float32) * q8["gu_scale"]).astype(dtype)
+    i = gu.shape[-1] // 2
+    down = (q8["down_q8"].astype(jnp.float32) * q8["down_scale"]).astype(dtype)
+    return {"gate": gu[..., :i], "up": gu[..., i:], "down": down}
 
 
 def lm_forward(

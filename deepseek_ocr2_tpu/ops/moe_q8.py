@@ -2,10 +2,10 @@
 
 Decode is bandwidth-bound on expert weights (~41 MB/layer at bf16). Plain XLA
 `convert(int8) -> dot` recovers almost nothing (~9%: the dequant serializes
-with the matmul). This kernel streams each selected expert's int8 gate/up/down
-blocks from HBM via scalar-prefetched expert ids — Pallas double-buffers
-consecutive grid steps, so the next expert's DMA overlaps the current
-expert's dequant+matmul — and computes the whole SwiGLU in VMEM.
+with the matmul). This kernel streams each selected expert's int8 fused
+gate||up and down blocks from HBM via scalar-prefetched expert ids — Pallas
+double-buffers consecutive grid steps, so the next expert's DMA overlaps the
+current expert's dequant+matmul — and computes the whole SwiGLU in VMEM.
 
 Quantization: symmetric per-output-channel int8 (scale = absmax/127 over the
 input dim). Opt-in (quantize_experts); greedy parity tests always run the
@@ -35,13 +35,15 @@ def quantize_experts(experts: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Quantize a (possibly layer-stacked) expert dict for the q8 decode path.
 
     Input keys gate/up: [..., E, H, I], down: [..., E, I, H]. Output keys:
-    {name}_q8 (int8) and {name}_scale (f32, [..., E, 1, Out]).
+    gu_q8 int8 [..., E, H, 2I] (gate||up fused along the output axis — one
+    weight stream per expert instead of two, so the kernel's DMA pipeline
+    runs fewer, larger transfers), gu_scale f32 [..., E, 1, 2I], down_q8,
+    down_scale. Per-output-column quantization is unchanged by the concat.
     """
     out: Dict[str, jnp.ndarray] = {}
-    for name in ("gate", "up", "down"):
-        q, s = quantize_per_col(experts[name])
-        out[f"{name}_q8"] = q
-        out[f"{name}_scale"] = s
+    gu = jnp.concatenate([experts["gate"], experts["up"]], axis=-1)
+    out["gu_q8"], out["gu_scale"] = quantize_per_col(gu)
+    out["down_q8"], out["down_scale"] = quantize_per_col(experts["down"])
     return out
 
 
@@ -51,10 +53,8 @@ def _q8_kernel(
     wts_ref,  # [B, K] f32 combine weights
     # inputs
     x_ref,  # [B, H] (whole batch; row selected in kernel)
-    g_ref,  # [1, H, I] int8
-    gs_ref,  # [1, 1, I] f32
-    u_ref,  # [1, H, I] int8
-    us_ref,  # [1, 1, I] f32
+    gu_ref,  # [1, H, 2I] int8 (gate||up fused)
+    gus_ref,  # [1, 1, 2I] f32
     d_ref,  # [1, I, H] int8
     ds_ref,  # [1, 1, H] f32
     # output
@@ -84,10 +84,10 @@ def _q8_kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    g = g_ref[0].astype(x.dtype)  # dequant-to-compute dtype in VMEM
-    u = u_ref[0].astype(x.dtype)
-    gate = dot(x, g) * gs_ref[0]
-    up = dot(x, u) * us_ref[0]
+    gu = gu_ref[0].astype(x.dtype)  # dequant-to-compute dtype in VMEM
+    i = gu.shape[-1] // 2
+    h2 = dot(x, gu) * gus_ref[0]  # [1, 2I]
+    gate, up = h2[:, :i], h2[:, i:]
     act = (jax.nn.silu(gate) * up).astype(x.dtype)  # [1, I]
     d = d_ref[0].astype(x.dtype)
     y = dot(act, d) * ds_ref[0]  # [1, H]
@@ -105,7 +105,8 @@ def moe_ffn_decode_q8(
     """Fused int8 MoE decode FFN. Returns [B, H] in x dtype."""
     b, h = x_flat.shape
     k = idx.shape[1]
-    e, _, i = experts_q8["gate_q8"].shape
+    e, _, i2 = experts_q8["gu_q8"].shape
+    i = i2 // 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -113,16 +114,10 @@ def moe_ffn_decode_q8(
         in_specs=[
             pl.BlockSpec((b, h), lambda bi, ki, idx, wts: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, h, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+                (1, h, i2), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, h, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, i), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
+                (1, 1, i2), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, i, h), lambda bi, ki, idx, wts: (idx[bi, ki], 0, 0), memory_space=pltpu.VMEM
@@ -144,10 +139,8 @@ def moe_ffn_decode_q8(
         idx.astype(jnp.int32),
         weights.astype(jnp.float32),
         x_flat,
-        experts_q8["gate_q8"],
-        experts_q8["gate_scale"],
-        experts_q8["up_q8"],
-        experts_q8["up_scale"],
+        experts_q8["gu_q8"],
+        experts_q8["gu_scale"],
         experts_q8["down_q8"],
         experts_q8["down_scale"],
     )
@@ -159,19 +152,18 @@ def moe_ffn_decode_q8_xla(x_flat, experts_q8, weights, idx):
     b, h = x_flat.shape
     k = idx.shape[1]
     acc = jnp.zeros((b, h), jnp.float32)
-    i = experts_q8["gate_q8"].shape[2]
+    i2 = experts_q8["gu_q8"].shape[2]
+    i = i2 // 2
     for t in range(b):
         x_t = x_flat[t : t + 1]
         for j in range(k):
             ex = idx[t, j]
-            g = jax.lax.dynamic_slice(experts_q8["gate_q8"], (ex, 0, 0), (1, h, i))[0]
-            gs = jax.lax.dynamic_slice(experts_q8["gate_scale"], (ex, 0, 0), (1, 1, i))[0]
-            u = jax.lax.dynamic_slice(experts_q8["up_q8"], (ex, 0, 0), (1, h, i))[0]
-            us = jax.lax.dynamic_slice(experts_q8["up_scale"], (ex, 0, 0), (1, 1, i))[0]
+            gu = jax.lax.dynamic_slice(experts_q8["gu_q8"], (ex, 0, 0), (1, h, i2))[0]
+            gus = jax.lax.dynamic_slice(experts_q8["gu_scale"], (ex, 0, 0), (1, 1, i2))[0]
             d = jax.lax.dynamic_slice(experts_q8["down_q8"], (ex, 0, 0), (1, i, h))[0]
             ds = jax.lax.dynamic_slice(experts_q8["down_scale"], (ex, 0, 0), (1, 1, h))[0]
-            gate = (x_t @ g.astype(x_flat.dtype)).astype(jnp.float32) * gs
-            up = (x_t @ u.astype(x_flat.dtype)).astype(jnp.float32) * us
+            h2 = (x_t @ gu.astype(x_flat.dtype)).astype(jnp.float32) * gus
+            gate, up = h2[:, :i], h2[:, i:]
             act = (jax.nn.silu(gate) * up).astype(x_flat.dtype)
             y = (act @ d.astype(x_flat.dtype)).astype(jnp.float32) * ds
             acc = acc.at[t].add(y[0] * weights[t, j])

@@ -93,10 +93,10 @@ def lm_param_specs_q8(cfg: DeepseekV2Config, params: Dict[str, Any]) -> Dict[str
         return {"q8": P(None, "mp"), "scale": P(None, "mp")}
 
     def expert_q8_specs():
-        # gate/up: q8 [E, H, I], scale [E, 1, I]; down: q8 [E, I, H].
+        # gu (gate||up fused): q8 [E, H, 2I], scale [E, 1, 2I]; down: [E, I, H].
         return {
             f"{name}_{part}": P("mp", None, None)
-            for name in ("gate", "up", "down")
+            for name in ("gu", "down")
             for part in ("q8", "scale")
         }
 

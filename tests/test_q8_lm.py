@@ -21,13 +21,9 @@ def test_q8_lm_matches_dequantized_model():
     q8_params = dsv2.quantize_lm_params(params)
     # Build the dequantized-equivalent dense model (same rounded weights).
     deq_experts = {}
+    deq_layers = [dsv2._dequantize_experts(q8, jnp.float32) for q8 in q8_params["moe_q8"]]
     for name in ("gate", "up", "down"):
-        deq_experts[name] = jnp.stack(
-            [
-                (q8[f"{name}_q8"].astype(jnp.float32) * q8[f"{name}_scale"])
-                for q8 in q8_params["moe_q8"]
-            ]
-        )
+        deq_experts[name] = jnp.stack([d[name] for d in deq_layers])
     deq_params = jax.tree_util.tree_map(lambda x: x, params)
     deq_params["layers_moe"] = dict(deq_params["layers_moe"])
     deq_params["layers_moe"]["experts"] = deq_experts
