@@ -69,18 +69,26 @@ def moe_ffn_prefill(
 ) -> jnp.ndarray:
     """Prefill MoE FFN. Returns [N, H] in x dtype.
 
-    Shape-adaptive dispatch, from v5e measurements inside the layer scan:
-    dense all-expert wins below ~700 tokens (0.87 vs 1.80 ms/layer at N=256 —
-    the MXU eats the 10.7x extra FLOPs while sort/gather overheads dominate
-    the grouped path), the sort+`ragged_dot` grouped GEMM wins above it
-    (3.04 vs 6.77 ms/layer at N=2048, where dense is FLOP-bound). Both are
-    exact; dense sums experts in ascending id order matching HF `moe_infer`.
-    Overrides: DEEPSEEK_MOE_PREFILL=ragged|dense.
+    Shape-adaptive dispatch (v5e measurements, scripts/bench_moe_pieces.py +
+    docs/DESIGN.md): dense all-expert wins at small N (the MXU eats the
+    10.7x extra FLOPs while per-expert scheduling overhead dominates); above
+    ~512 tokens the Pallas visit-scheduled grouped GEMM (ops/moe_gmm.py)
+    wins — `lax.ragged_dot` itself lowers to ~5 TF/s on this backend and is
+    kept only as the non-Pallas grouped fallback. All paths are exact (no
+    capacity dropping); dense sums experts in ascending id order matching HF
+    `moe_infer`. Overrides: DEEPSEEK_MOE_PREFILL=gmm|ragged|dense.
     """
     import os
 
+    from .flash_attention import pallas_enabled
+
     mode = os.environ.get("DEEPSEEK_MOE_PREFILL")
-    if mode == "ragged" or (mode is None and x_flat.shape[0] > 512):
+    big = x_flat.shape[0] > 512
+    if mode == "gmm" or (mode is None and big and pallas_enabled()):
+        from .moe_gmm import moe_ffn_gmm
+
+        return moe_ffn_gmm(x_flat, experts, weights, idx)
+    if mode == "ragged" or (mode is None and big):
         return moe_ffn_ragged(x_flat, experts, weights, idx)
     return moe_ffn_dense(x_flat, experts, weights, idx)
 
