@@ -192,6 +192,36 @@ def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, interpret=False):
     )(vt, ve, lo, hi, x, w_gate, w_up)
 
 
+@jax.custom_vjp
+def _moe_ffn_gmm_diff(x_flat, experts, weights, idx):
+    return _moe_ffn_gmm_impl(x_flat, experts, weights, idx)
+
+
+def _moe_ffn_gmm_fwd(x_flat, experts, weights, idx):
+    out = _moe_ffn_gmm_impl(x_flat, experts, weights, idx)
+    return out, (x_flat, experts, weights, idx)
+
+
+def _moe_ffn_gmm_bwd(res, g):
+    # Backward through the XLA grouped path (numerically the same function;
+    # the Pallas kernels define no VJP). Training steps on TPU pay the
+    # slower ragged_dot only in the backward pass.
+    import numpy as np
+
+    from .moe import moe_ffn_ragged
+
+    x_flat, experts, weights, idx = res
+    _, vjp = jax.vjp(
+        lambda x, e, w: moe_ffn_ragged(x, e, w, idx), x_flat, experts, weights
+    )
+    dx, de, dw = vjp(g)
+    d_idx = np.zeros(idx.shape, jax.dtypes.float0)  # integer arg: no gradient
+    return dx, de, dw, d_idx
+
+
+_moe_ffn_gmm_diff.defvjp(_moe_ffn_gmm_fwd, _moe_ffn_gmm_bwd)
+
+
 def moe_ffn_gmm(
     x_flat: jnp.ndarray,  # [N, H]
     experts: Dict[str, jnp.ndarray],  # gate/up: [E, H, I], down: [E, I, H]
@@ -200,7 +230,23 @@ def moe_ffn_gmm(
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Exact grouped-GEMM MoE FFN (prefill scale). Returns [N, H] in x dtype."""
+    """Exact grouped-GEMM MoE FFN (prefill scale). Returns [N, H] in x dtype.
+
+    Differentiable: the forward runs the Pallas kernels, the backward runs
+    the VJP of the XLA grouped path (same math)."""
+    if interpret:
+        return _moe_ffn_gmm_impl(x_flat, experts, weights, idx, interpret=True)
+    return _moe_ffn_gmm_diff(x_flat, experts, weights, idx)
+
+
+def _moe_ffn_gmm_impl(
+    x_flat: jnp.ndarray,
+    experts: Dict[str, jnp.ndarray],
+    weights: jnp.ndarray,
+    idx: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
     n, h = x_flat.shape
     k = idx.shape[1]
     e = experts["gate"].shape[0]

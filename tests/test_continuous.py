@@ -179,3 +179,13 @@ def test_continuous_page_growth_preemption(setup):
     for ref, b in zip(singles, results):
         assert b is not None
         assert b.token_ids == ref.token_ids
+
+    # Sampling must be preemption-invariant too: the PRNG key folds
+    # (seed, page_index, position), so a re-admitted page replays its stream.
+    samp = dict(temperature=1.0, top_k=4, top_p=1.0, seed=13)
+    tight = engine.run(pages, max_new_tokens=max_new, ngram_size=0, sampling=dict(samp))
+    roomy = ContinuousOCREngine(
+        pipe, slots=2, capacity=128, chunk_steps=chunk, page_size=page_size
+    ).run(pages, max_new_tokens=max_new, ngram_size=0, sampling=dict(samp))
+    for a, b2 in zip(tight, roomy):
+        assert a.token_ids == b2.token_ids

@@ -107,3 +107,32 @@ def test_gmm_bf16_matches_ragged_to_ulp():
             np.float32,
         )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=8e-3)
+
+
+def test_gmm_custom_vjp_matches_ragged_grads():
+    """Training path: grads of the gmm wrapper must equal the XLA grouped
+    path's grads (the custom VJP differentiates through moe_ffn_ragged)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled Pallas forward requires a TPU backend")
+
+    rng = np.random.default_rng(7)
+    n, k, e, h, i = 64, 2, 4, 64, 32
+    x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    experts = _experts(e, h, i, seed=7)
+    router = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32) * 0.1)
+    weights, idx = route(x, router, k)
+
+    from deepseek_ocr2_tpu.ops.moe_gmm import _moe_ffn_gmm_diff
+
+    def loss_gmm(x, ex, w):
+        return jnp.sum(_moe_ffn_gmm_diff(x, ex, w, idx) ** 2)
+
+    def loss_ragged(x, ex, w):
+        return jnp.sum(moe_ffn_ragged(x, ex, w, idx) ** 2)
+
+    g1 = jax.grad(loss_gmm, argnums=(0, 1, 2))(x, experts, weights)
+    g2 = jax.grad(loss_ragged, argnums=(0, 1, 2))(x, experts, weights)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+        )
