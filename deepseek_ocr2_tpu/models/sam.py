@@ -287,11 +287,15 @@ def _attention(
     scale = 1.0 / math.sqrt(hd)
     if pallas_enabled() and l % 128 == 0 and l >= 256:
         # Fused-bias Pallas kernel: never materializes the [L, L] bias/scores
-        # in HBM (the XLA path below is HBM-bound at L=4096).
+        # in HBM (the XLA path below is HBM-bound at L=4096). q/k/v pass in
+        # the model dtype: the values are bf16-born (no RoPE upcast in SAM),
+        # so the kernel's f32-accumulated native dot is bit-identical to the
+        # f32 path while halving DMA and taking one MXU pass instead of the
+        # f32 three-pass form.
         ctx = mha_pallas(
-            q32,
-            k32,
-            v32,
+            q,
+            k,
+            v,
             scale=scale,
             rel_h=rel_h.reshape(b, num_heads, l, h),
             rel_w=rel_w.reshape(b, num_heads, l, w),

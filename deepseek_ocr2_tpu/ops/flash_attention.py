@@ -32,74 +32,73 @@ MASK_VALUE = -1.0e4
 
 
 def _attn_kernel(
-    q_ref,  # [1, TQ, D]
-    k_ref,  # [1, Lk, D]
-    v_ref,  # [1, Lk, D]
-    o_ref,  # [1, TQ, D]
+    q_ref,  # [NB, TQ, D]
+    k_ref,  # [NB, Lk, D]
+    v_ref,  # [NB, Lk, D]
+    o_ref,  # [NB, TQ, D]
     *,
     scale: float,
     mode: str,
     n_prefix: int,
     seq_k: int,
     block_q: int,
+    nb: int,
 ):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # [TQ, D]
-    k = k_ref[0].astype(jnp.float32)  # [Lk, D]
-    v = v_ref[0].astype(jnp.float32)
+    for i in range(nb):
+        # Score dot in the native dtype (bf16 inputs take one MXU pass; the
+        # f32 accumulate makes it exact for bf16-valued operands).
+        q = q_ref[i]  # [TQ, D]
+        k = k_ref[i]  # [Lk, D]
+        v = v_ref[i].astype(jnp.float32)
 
-    scores = jax.lax.dot_general(
-        q,
-        k,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * jnp.float32(scale)  # [TQ, Lk]
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(scale)  # [TQ, Lk]
 
-    tq, lk = scores.shape
-    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 1)
+        tq, lk = scores.shape
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 1)
 
-    if mode == "causal":
-        disallow = k_pos > q_pos
-        scores = jnp.where(disallow, jnp.float32(MASK_VALUE), scores)
-    elif mode == "prefix":
-        prefix_row = q_pos < n_prefix
-        query_col = k_pos >= n_prefix
-        future = k_pos > q_pos
-        disallow = (prefix_row & query_col) | (
-            (q_pos >= n_prefix) & query_col & future
+        if mode == "causal":
+            disallow = k_pos > q_pos
+            scores = jnp.where(disallow, jnp.float32(MASK_VALUE), scores)
+        elif mode == "prefix":
+            prefix_row = q_pos < n_prefix
+            query_col = k_pos >= n_prefix
+            future = k_pos > q_pos
+            disallow = (prefix_row & query_col) | (
+                (q_pos >= n_prefix) & query_col & future
+            )
+            scores = jnp.where(disallow, jnp.float32(MASK_VALUE), scores)
+
+        if seq_k < lk:  # exclude key padding entirely
+            scores = jnp.where(k_pos >= seq_k, jnp.float32(-jnp.inf), scores)
+
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jax.lax.dot_general(
+            weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        scores = jnp.where(disallow, jnp.float32(MASK_VALUE), scores)
-
-    if seq_k < lk:  # exclude key padding entirely
-        scores = jnp.where(k_pos >= seq_k, jnp.float32(-jnp.inf), scores)
-
-    weights = jax.nn.softmax(scores, axis=-1)
-    out = jax.lax.dot_general(
-        weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _attn_kernel_relpos(
-    q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, *, scale, seq_k, block_q, k_w
+    q_ref, k_ref, v_ref, relh_ref, relw_ref, o_ref, *, scale, seq_k, block_q, k_w, nb
 ):
-    """Attention with decomposed rel-pos bias; Lk == Kh * k_w."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    rel_h = relh_ref[0].astype(jnp.float32)  # [TQ, Kh]
-    rel_w = relw_ref[0].astype(jnp.float32)  # [TQ, Kw]
+    """Attention with decomposed rel-pos bias; Lk == Kh * k_w.
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * jnp.float32(scale)
-
-    tq, lk = scores.shape
+    NB (window, head) problems per grid step: the SAM windowed case has
+    ~1200 tiny independent attentions, and one-per-step leaves the MXU idle
+    on per-step overhead (measured ~6 us/step vs ~2 us of work)."""
+    tq = q_ref.shape[1]
+    lk = k_ref.shape[1]
     k_h = lk // k_w
     # bias[q, kh*Kw + kw] = rel_h[q, kh] + rel_w[q, kw], expanded via 0/1
     # matrices on the MXU (Mosaic cannot shape-cast a [TQ, Kh, Kw] merge when
-    # Kh/Kw are sub-lane sized).
+    # Kh/Kw are sub-lane sized). Shared across the NB problems.
     kpos_h = jax.lax.broadcasted_iota(jnp.int32, (k_h, lk), 1) // k_w
     eh = (kpos_h == jax.lax.broadcasted_iota(jnp.int32, (k_h, lk), 0)).astype(
         jnp.float32
@@ -108,22 +107,34 @@ def _attn_kernel_relpos(
     ew = (kpos_w == jax.lax.broadcasted_iota(jnp.int32, (k_w, lk), 0)).astype(
         jnp.float32
     )  # [Kw, Lk]
-    bias = jax.lax.dot_general(
-        rel_h, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        rel_w, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    scores = scores + bias
 
-    if seq_k < lk:
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 1)
-        scores = jnp.where(k_pos >= seq_k, jnp.float32(-jnp.inf), scores)
+    for i in range(nb):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i].astype(jnp.float32)
+        rel_h = relh_ref[i].astype(jnp.float32)  # [TQ, Kh]
+        rel_w = relw_ref[i].astype(jnp.float32)  # [TQ, Kw]
 
-    weights = jax.nn.softmax(scores, axis=-1)
-    out = jax.lax.dot_general(
-        weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = out.astype(o_ref.dtype)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+
+        bias = jax.lax.dot_general(
+            rel_h, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            rel_w, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores + bias
+
+        if seq_k < lk:
+            k_pos = jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 1)
+            scores = jnp.where(k_pos >= seq_k, jnp.float32(-jnp.inf), scores)
+
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jax.lax.dot_general(
+            weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _pad_axis(x, axis, to):
@@ -172,14 +183,25 @@ def mha_pallas(
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, 128)
 
+    # Many-tiny-attentions regime (SAM windows: bh ~ 1200, L=256): batch NB
+    # independent problems per grid step so the per-step overhead amortizes.
+    # Bound the per-step score/weight tiles (~nb * block_q * lk f32) to keep
+    # the VMEM budget; only worthwhile when the whole problem is one q-block.
+    nb = 1
+    if lq_pad == block_q and lk_pad <= 512:
+        for cand in (16, 8, 4, 2):
+            if bh % cand == 0 and cand * lk_pad * 4 * (2 * d + 3 * block_q) < 10 * 1024 * 1024:
+                nb = cand
+                break
+
     qf = _pad_axis(q.reshape(bh, lq, d), 1, lq_pad)
     kf = _pad_axis(k.reshape(bh, lk, d), 1, lk_pad)
     vf = _pad_axis(v.reshape(bh, lk, d), 1, lk_pad)
 
-    grid = (bh, lq_pad // block_q)
-    q_spec = pl.BlockSpec((1, block_q, d), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, lk_pad, d), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, block_q, d), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
+    grid = (bh // nb, lq_pad // block_q)
+    q_spec = pl.BlockSpec((nb, block_q, d), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((nb, lk_pad, d), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((nb, block_q, d), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
 
     if use_rel:
         kh = rel_h.shape[-1]
@@ -188,10 +210,10 @@ def mha_pallas(
         assert lk == lk_pad, "rel-pos path requires Lk multiple of 128"
         rh = _pad_axis(rel_h.reshape(bh, lq, kh), 1, lq_pad)
         rw = _pad_axis(rel_w.reshape(bh, lq, kw), 1, lq_pad)
-        rh_spec = pl.BlockSpec((1, block_q, kh), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
-        rw_spec = pl.BlockSpec((1, block_q, kw), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
+        rh_spec = pl.BlockSpec((nb, block_q, kh), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
+        rw_spec = pl.BlockSpec((nb, block_q, kw), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM)
         kernel = functools.partial(
-            _attn_kernel_relpos, scale=scale, seq_k=lk, block_q=block_q, k_w=kw
+            _attn_kernel_relpos, scale=scale, seq_k=lk, block_q=block_q, k_w=kw, nb=nb
         )
         out = pl.pallas_call(
             kernel,
@@ -209,6 +231,7 @@ def mha_pallas(
             n_prefix=n_prefix,
             seq_k=lk,
             block_q=block_q,
+            nb=nb,
         )
         out = pl.pallas_call(
             kernel,

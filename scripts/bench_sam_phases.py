@@ -1,0 +1,124 @@
+"""SAM ViT-B stage breakdown at serving shapes (B=4, 1024^2)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_ocr2_tpu.configs import OCR2Config
+from deepseek_ocr2_tpu.models import sam as sam_mod
+
+ITERS_LO, ITERS_HI = 4, 20
+B = 4
+
+
+def _time_chain(make_run, *args) -> float:
+    lo, hi = make_run(ITERS_LO), make_run(ITERS_HI)
+
+    def once(fn):
+        np.asarray(jax.device_get(fn(*args)))[:1]
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(fn(*args)))[:1]
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max(once(hi) - once(lo), 1e-9) / (ITERS_HI - ITERS_LO)
+
+
+def chain(body):
+    def make_run(iters):
+        @jax.jit
+        def run(x0, *rest):
+            def b(x, _):
+                y = body(x, *rest)
+                f = jnp.ravel(y)[:1].astype(x0.dtype) * jnp.asarray(1e-24, x0.dtype)
+                return x0 + f.reshape((1,) * x0.ndim), ()
+
+            x, _ = jax.lax.scan(b, x0, None, length=iters)
+            return x
+
+        return run
+
+    return make_run
+
+
+def main():
+    cfg = OCR2Config().sam
+    key = jax.random.PRNGKey(0)
+    params = sam_mod.init_params(cfg, key, dtype=jnp.bfloat16)
+    print(f"device: {jax.devices()[0]}  B={B}")
+
+    img = jax.random.uniform(key, (B, 3, 1024, 1024), jnp.bfloat16, -1, 1)
+    dt = _time_chain(
+        chain(lambda x, p: sam_mod._conv2d(x, p["patch_embed"]["w"], p["patch_embed"]["b"], stride=cfg.patch_size)),
+        img,
+        params,
+    )
+    print(f"patch embed conv              {dt * 1e3:8.2f} ms")
+
+    x = jax.random.normal(key, (B, 64, 64, 768), jnp.bfloat16)
+    blk = jax.tree_util.tree_map(lambda a: a, params["blocks"][0])
+
+    dt = _time_chain(
+        chain(lambda x, b2: sam_mod._block(x, b2, cfg, cfg.window_size)), x, blk
+    )
+    print(f"windowed block (win=14->16)   {dt * 1e3:8.2f} ms  (x8 = {8 * dt * 1e3:.0f} ms)")
+
+    dt = _time_chain(chain(lambda x, b2: sam_mod._block(x, b2, cfg, 0)), x, blk)
+    print(f"global block (L=4096)         {dt * 1e3:8.2f} ms  (x4 = {4 * dt * 1e3:.0f} ms)")
+
+    # MLP alone.
+    def mlp(x, b2):
+        return (
+            sam_mod._gelu(x @ b2["mlp"]["w1"].astype(x.dtype) + b2["mlp"]["b1"].astype(x.dtype))
+            @ b2["mlp"]["w2"].astype(x.dtype)
+        )
+
+    dt = _time_chain(chain(mlp), x, blk)
+    print(f"block MLP alone               {dt * 1e3:8.2f} ms")
+
+    # Windowed attention alone (partition + attention + unpartition).
+    def wattn(x, b2):
+        wins, pad_hw = sam_mod.window_partition(x, cfg.window_size)
+        pad = 16 - cfg.window_size
+        wins = jnp.pad(wins, ((0, 0), (0, pad), (0, pad), (0, 0)))
+        wins = sam_mod._attention(wins, b2["attn"], cfg.num_heads, valid_hw=(14, 14))
+        wins = wins[:, :14, :14, :]
+        return sam_mod.window_unpartition(wins, 14, pad_hw, (64, 64))
+
+    dt = _time_chain(chain(wattn), x, blk)
+    print(f"windowed attention alone      {dt * 1e3:8.2f} ms")
+
+    def gattn(x, b2):
+        return sam_mod._attention(x, b2["attn"], cfg.num_heads)
+
+    dt = _time_chain(chain(gattn), x, blk)
+    print(f"global attention alone        {dt * 1e3:8.2f} ms")
+
+    nchw = jax.random.normal(key, (B, 768, 64, 64), jnp.bfloat16)
+
+    def tail(x, p):
+        n = p["neck"]
+        y = sam_mod._conv2d(x, n["conv1"])
+        y = sam_mod.layer_norm_2d(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d(y, n["conv2"], padding=((1, 1), (1, 1)))
+        y = sam_mod.layer_norm_2d(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d(y, p["net_2"], stride=2, padding=((1, 1), (1, 1)))
+        return sam_mod._conv2d(y, p["net_3"], stride=2, padding=((1, 1), (1, 1)))
+
+    dt = _time_chain(chain(tail), nchw, params)
+    print(f"neck + net_2 + net_3          {dt * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
