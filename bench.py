@@ -200,6 +200,7 @@ def main() -> None:
 
     lm_q8 = quantize_lm_params(params["lm"], scope="full")
     decode_tps_q8 = measure_decode_tps(lm_q8, 1)
+    decode_tps_q8_b8 = measure_decode_tps(lm_q8, 8)
 
     # HBM-bandwidth utilization (roofline): byte model / measured step time.
     kv_len_mid = prompt_len + 80  # midpoint of the 128-token difference window
@@ -269,6 +270,7 @@ def main() -> None:
                 "decode_tok_per_sec": round(decode_tps, 1),
                 "decode_tok_per_sec_b8": round(decode_tps_b8, 1),
                 "decode_tok_per_sec_int8": round(decode_tps_q8, 1),
+                "decode_tok_per_sec_int8_b8": round(decode_tps_q8_b8, 1),
                 "hbm_bw_util_pct": round(100 * hbm_util, 1),
                 "hbm_bw_util_pct_int8": round(100 * hbm_util_q8, 1),
                 "first_token_ms": round(first_token_ms, 1),

@@ -139,7 +139,10 @@ def moe_ffn_decode(
       the chosen experts' weights from HBM (bandwidth-optimal, the TPU
       analogue of the reference's direct expert loop, deepseek_v2.rs:669-698);
     - N*k > E: dense all-expert dispatch — every expert's weights stream once
-      (reads bounded by total expert bytes, MXU-friendly).
+      (reads bounded by total expert bytes, MXU-friendly). The gmm kernel was
+      measured slower here (26.5 vs 19.2 ms/step at b=32): per-step schedule
+      construction + two extra kernel launches per layer dominate at decode
+      scale, while dense is already near the weight-bandwidth floor.
     """
     n, h = x_flat.shape
     k = idx.shape[1]

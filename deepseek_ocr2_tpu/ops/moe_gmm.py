@@ -36,7 +36,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BM = 256  # row-tile height (sublane-aligned; VMEM budget fits 2.3 MB expert blocks)
+_BM = 256  # row-tile height for prefill-scale M (VMEM fits 2.3 MB expert blocks)
+
+
+def _pick_bm(m: int) -> int:
+    """Row-tile height. Every expert with assignments costs >= 1 visit, and a
+    visit computes a full bm-row tile — at decode scale (M a few hundred,
+    most visits nearly empty) big tiles turn the kernel compute-bound on
+    garbage rows (measured 31.5 ms/step at b=32 with bm=256 vs 19.2 dense).
+    Small tiles keep the kernel at the weight-bandwidth floor instead."""
+    if m >= 2048:
+        return _BM
+    return 32
 
 
 def _visit_schedule(group_sizes: jnp.ndarray, m_pad: int, bm: int):
@@ -95,10 +106,10 @@ def _dot(a, b):
     )
 
 
-def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, x_ref, g_ref, u_ref, o_ref):
+def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, x_ref, g_ref, u_ref, o_ref, *, bm):
     v = pl.program_id(0)
-    row0 = vt_ref[v] * _BM
-    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (_BM, 1), 0)
+    row0 = vt_ref[v] * bm
+    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
     in_rows = (ga >= lo_ref[v]) & (ga < hi_ref[v])  # [BM, 1]
     x = x_ref[:]
     # Round each GEMM to the compute dtype exactly like the XLA grouped path
@@ -109,17 +120,17 @@ def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, x_ref, g_ref, u_ref, o_re
     o_ref[:] = jnp.where(in_rows, act, o_ref[:])
 
 
-def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, a_ref, d_ref, o_ref):
+def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, a_ref, d_ref, o_ref, *, bm):
     v = pl.program_id(0)
-    row0 = vt_ref[v] * _BM
-    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (_BM, 1), 0)
+    row0 = vt_ref[v] * bm
+    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
     in_rows = (ga >= lo_ref[v]) & (ga < hi_ref[v])
     a = a_ref[:]
     y = _dot(a, d_ref[0]).astype(a.dtype)
     o_ref[:] = jnp.where(in_rows, y, o_ref[:])
 
 
-def _gmm_call(kernel, schedule, x, w, out_dim, *, interpret=False):
+def _gmm_call(kernel, schedule, x, w, out_dim, *, bm, interpret=False):
     vt, ve, lo, hi = schedule
     m_pad, _ = x.shape
     v_total = vt.shape[0]
@@ -129,7 +140,7 @@ def _gmm_call(kernel, schedule, x, w, out_dim, *, interpret=False):
         grid=(v_total,),
         in_specs=[
             pl.BlockSpec(
-                (_BM, in_dim),
+                (bm, in_dim),
                 lambda v, vt, ve, lo, hi: (vt[v], 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -140,20 +151,20 @@ def _gmm_call(kernel, schedule, x, w, out_dim, *, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_BM, out_dim),
+            (bm, out_dim),
             lambda v, vt, ve, lo, hi: (vt[v], 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        kernel,
+        functools.partial(kernel, bm=bm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, out_dim), x.dtype),
         interpret=interpret,
     )(vt, ve, lo, hi, x, w)
 
 
-def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, interpret=False):
+def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, bm, interpret=False):
     vt, ve, lo, hi = schedule
     m_pad, in_dim = x.shape
     v_total = vt.shape[0]
@@ -163,7 +174,7 @@ def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, interpret=False):
         grid=(v_total,),
         in_specs=[
             pl.BlockSpec(
-                (_BM, in_dim),
+                (bm, in_dim),
                 lambda v, vt, ve, lo, hi: (vt[v], 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -179,13 +190,13 @@ def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_BM, i),
+            (bm, i),
             lambda v, vt, ve, lo, hi: (vt[v], 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        _gmm_swiglu_kernel,
+        functools.partial(_gmm_swiglu_kernel, bm=bm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, i), x.dtype),
         interpret=interpret,
@@ -251,7 +262,8 @@ def _moe_ffn_gmm_impl(
     k = idx.shape[1]
     e = experts["gate"].shape[0]
     m = n * k
-    m_pad = -(-m // _BM) * _BM
+    bm = _pick_bm(m)
+    m_pad = -(-m // bm) * bm
 
     flat_idx = idx.reshape(m)
     order = jnp.argsort(flat_idx, stable=True)
@@ -261,12 +273,12 @@ def _moe_ffn_gmm_impl(
         x_sorted = jnp.pad(x_sorted, ((0, m_pad - m), (0, 0)))
     group_sizes = jnp.bincount(flat_idx, length=e).astype(jnp.int32)
 
-    schedule = _visit_schedule(group_sizes, m_pad, _BM)
+    schedule = _visit_schedule(group_sizes, m_pad, bm)
     act = _gmm_swiglu_call(
-        schedule, x_sorted, experts["gate"], experts["up"], interpret=interpret
+        schedule, x_sorted, experts["gate"], experts["up"], bm=bm, interpret=interpret
     )  # [M_pad, I]
     y_sorted = _gmm_call(
-        _gmm_down_kernel, schedule, act, experts["down"], h, interpret=interpret
+        _gmm_down_kernel, schedule, act, experts["down"], h, bm=bm, interpret=interpret
     )[:m]  # [M, H]
 
     inv = jnp.argsort(order, stable=True)

@@ -122,3 +122,29 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def full_towers():
+    """Diff-method timings of the full towers (dispatch cancels)."""
+    from deepseek_ocr2_tpu.configs import OCR2Config
+    from deepseek_ocr2_tpu.models import qwen2 as qwen2_mod
+
+    ocfg = OCR2Config()
+    cfg = ocfg.sam
+    key = jax.random.PRNGKey(0)
+    params = sam_mod.init_params(cfg, key, dtype=jnp.bfloat16)
+    qp = qwen2_mod.init_params(ocfg.qwen2, key, dtype=jnp.bfloat16)
+
+    for name, shape in [("sam fwd 4x1024", (4, 3, 1024, 1024)), ("sam fwd 8x768", (8, 3, 768, 768))]:
+        img = jax.random.uniform(key, shape, jnp.bfloat16, -1, 1)
+        dt = _time_chain(chain(lambda x, p: sam_mod.sam_forward(p, cfg, x)), img, params)
+        print(f"{name:28s}  {dt * 1e3:8.2f} ms")
+
+    for name, shape in [("qwen2 4x(16,16)", (4, 896, 16, 16)), ("qwen2 8x(12,12)", (8, 896, 12, 12))]:
+        f = jax.random.normal(key, shape, jnp.bfloat16)
+        dt = _time_chain(chain(lambda x, p: qwen2_mod.qwen2_encode(p, ocfg.qwen2, x)), f, qp)
+        print(f"{name:28s}  {dt * 1e3:8.2f} ms")
+
+
+if os.environ.get("SAM_FULL"):
+    full_towers()
