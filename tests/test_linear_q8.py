@@ -46,6 +46,26 @@ def test_linear_q8_nondivisible_block():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=8e-3)
 
 
+def test_linear_q8_kblocked_tall_weight():
+    """Tall weights (In >= 2*Out) take the K-blocked accumulating kernel with
+    a non-multiple-of-128 input dim (6848 pads to 6912; x is zero-padded to
+    match). Must agree with the XLA path on the real down-projection shape."""
+    from deepseek_ocr2_tpu.ops.linear_q8 import _pick_block_k
+
+    rng = np.random.default_rng(3)
+    h, o, b = 6848, 1280, 2
+    w = jnp.asarray(rng.standard_normal((h, o)) * 0.02, jnp.float32)
+    q = quantize_linear(w)
+    k_pad = q["q8"].shape[0]
+    assert k_pad == 6912 and k_pad % 128 == 0  # padded to a multiple of 128
+    bk = _pick_block_k(k_pad, o)
+    assert bk is not None and bk < k_pad and k_pad % bk == 0 and bk % 128 == 0
+    x = jnp.asarray(rng.standard_normal((b, h)) * 0.5, jnp.bfloat16)
+    want = np.asarray(linear_q8_xla(x, q, out_dtype=jnp.float32))
+    got = np.asarray(linear_q8(x, q, out_dtype=jnp.float32, interpret=INTERPRET))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_swiglu_q8_close_to_bf16():
     rng = np.random.default_rng(2)
     h, i, b = 256, 128, 4
