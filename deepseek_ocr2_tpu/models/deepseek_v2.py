@@ -661,7 +661,14 @@ def _q8_ffn(
 
     weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
     if decode and pallas_enabled():
-        routed = moe_ffn_decode_q8(x_flat, q8_experts, weights, idx)
+        if x_flat.shape[0] * cfg.num_experts_per_tok > cfg.n_routed_experts:
+            # Serving batches: one visit per distinct expert (the per-
+            # selection kernel re-reads shared experts ~3x at b=32).
+            from ..ops.moe_decode import moe_ffn_decode_q8_fused
+
+            routed = moe_ffn_decode_q8_fused(x_flat, q8_experts, weights, idx)
+        else:
+            routed = moe_ffn_decode_q8(x_flat, q8_experts, weights, idx)
     else:
         deq = _dequantize_experts(q8_experts, x_flat.dtype)
         if is_prefill:

@@ -138,12 +138,16 @@ def moe_ffn_decode(
     - N*k <= E: unrolled `dynamic_slice` per selected expert — reads exactly
       the chosen experts' weights from HBM (bandwidth-optimal, the TPU
       analogue of the reference's direct expert loop, deepseek_v2.rs:669-698);
-    - N*k > E: dense all-expert dispatch — every expert's weights stream once
-      (reads bounded by total expert bytes, MXU-friendly). The gmm kernel was
-      measured slower here (26.5 vs 19.2 ms/step at b=32): per-step schedule
-      construction + two extra kernel launches per layer dominate at decode
-      scale, while dense is already near the weight-bandwidth floor.
+    - N*k > E: the fused distinct-expert-visit Pallas kernel
+      (ops/moe_decode.py) — each distinct selected expert's weights stream
+      once at the byte floor (measured 725 GB/s at b=32 vs dense XLA's
+      skinny batched GEMMs). Dense all-expert dispatch is the non-Pallas
+      fallback. The prefill gmm kernel was measured slower at decode scale
+      (26.5 vs 19.2 ms/step at b=32: per-step visit-schedule construction +
+      two extra launches per layer).
     """
+    from .flash_attention import pallas_enabled
+
     n, h = x_flat.shape
     k = idx.shape[1]
     e = experts["gate"].shape[0]
@@ -162,6 +166,10 @@ def moe_ffn_decode(
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
                 acc = acc.at[t].add((act @ d)[0].astype(jnp.float32) * weights[t, j])
         return acc.astype(x_flat.dtype)
+    if pallas_enabled():
+        from .moe_decode import moe_ffn_decode_fused
+
+        return moe_ffn_decode_fused(x_flat, experts, weights, idx)
     return moe_ffn_dense(x_flat, experts, weights, idx)
 
 
