@@ -31,6 +31,23 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -1.0e4
 
 
+def _dg(a, b, dims):
+    """dot_general with precision picked by dtype (cf. moe_gmm._dot): bf16
+    operands pin DEFAULT — a global 'highest' (the CPU parity conftest)
+    would lower them to multi-pass Mosaic forms this backend rejects. f32
+    operands inherit the global setting, so interpret-mode kernels match
+    the XLA paths bit for bit on CPU while the TPU runtime keeps its fast
+    single-pass dots."""
+    prec = (
+        None
+        if a.dtype == jnp.float32 and b.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=prec
+    )
+
+
 def _attn_kernel(
     q_ref,  # [NB, TQ, D]
     k_ref,  # [NB, Lk, D]
@@ -52,12 +69,7 @@ def _attn_kernel(
         k = k_ref[i]  # [Lk, D]
         v = v_ref[i].astype(jnp.float32)
 
-        scores = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * jnp.float32(scale)  # [TQ, Lk]
+        scores = _dg(q, k, (((1,), (1,)), ((), ()))) * jnp.float32(scale)  # [TQ, Lk]
 
         tq, lk = scores.shape
         q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (tq, lk), 0)
@@ -79,9 +91,7 @@ def _attn_kernel(
             scores = jnp.where(k_pos >= seq_k, jnp.float32(-jnp.inf), scores)
 
         weights = jax.nn.softmax(scores, axis=-1)
-        out = jax.lax.dot_general(
-            weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        out = _dg(weights, v, (((1,), (0,)), ((), ())))
         o_ref[i] = out.astype(o_ref.dtype)
 
 
@@ -115,14 +125,10 @@ def _attn_kernel_relpos(
         rel_h = relh_ref[i].astype(jnp.float32)  # [TQ, Kh]
         rel_w = relw_ref[i].astype(jnp.float32)  # [TQ, Kw]
 
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
+        scores = _dg(q, k, (((1,), (1,)), ((), ()))) * jnp.float32(scale)
 
-        bias = jax.lax.dot_general(
-            rel_h, eh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            rel_w, ew, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        bias = _dg(rel_h, eh, (((1,), (0,)), ((), ()))) + _dg(
+            rel_w, ew, (((1,), (0,)), ((), ()))
         )
         scores = scores + bias
 
@@ -131,9 +137,7 @@ def _attn_kernel_relpos(
             scores = jnp.where(k_pos >= seq_k, jnp.float32(-jnp.inf), scores)
 
         weights = jax.nn.softmax(scores, axis=-1)
-        out = jax.lax.dot_general(
-            weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        out = _dg(weights, v, (((1,), (0,)), ((), ())))
         o_ref[i] = out.astype(o_ref.dtype)
 
 

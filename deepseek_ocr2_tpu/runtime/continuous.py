@@ -422,7 +422,16 @@ class ContinuousOCREngine:
                     pipe.tokenizer, prompt, cfg, ratio0
                 )
                 s0 = len(ids)
-                need = pages_for(min(s0 + 1 + self.chunk_steps, s0 + max_new_tokens), page) * g
+                need_per = pages_for(
+                    min(s0 + 1 + self.chunk_steps, s0 + max_new_tokens), page
+                )
+                # Degrade to smaller power-of-two batches when the pool is
+                # tight: the constructor guarantees a single slot fits, so
+                # halving always reaches a feasible group before g == 0.
+                while g > 1 and need_per * g > alloc.n_free:
+                    g //= 2
+                group = group[:g]
+                need = need_per * g
                 if need > alloc.n_free:
                     if not slot_page:
                         raise RuntimeError(
