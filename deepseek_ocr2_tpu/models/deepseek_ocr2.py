@@ -140,6 +140,47 @@ def build_inputs_embeds(
     return jax.lax.dynamic_update_slice(base, vis, (0, image_start, 0))
 
 
+def build_inputs_embeds_masked(
+    params: Params,
+    cfg: OCR2Config,
+    input_ids: jnp.ndarray,  # [1, S] i32
+    vision_tokens: jnp.ndarray,  # [n_img, H] (all images' tokens, in order)
+    image_mask: jnp.ndarray,  # [S] bool — True at placeholder positions
+) -> jnp.ndarray:
+    """Mask-driven injection: the n-th True position in `image_mask`
+    receives `vision_tokens[n]`.
+
+    Covers placeholder layouts that are NOT one contiguous block — multiple
+    `<image>` spans or arbitrary masks (the reference's masked scatter-add
+    fallback, deepseek_ocr2.rs:273-297; HF `masked_scatter` semantics). The
+    single-block case should use `build_inputs_embeds` (dynamic_update_slice,
+    no gather). TPU note: this is a row gather of [S] indices from
+    [n_img, H] — row gathers are cheap; only weight-matrix gathers by traced
+    index are pathological on this backend.
+    """
+    base = jnp.take(params["lm"]["embed"], input_ids, axis=0)  # [1, S, H]
+    mask = image_mask.astype(bool)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # running placeholder rank
+    pos = jnp.clip(pos, 0, vision_tokens.shape[0] - 1)
+    vis = jnp.take(vision_tokens.astype(base.dtype), pos, axis=0)  # [S, H]
+    return jnp.where(mask[None, :, None], vis[None], base)
+
+
+def encode_views_multi(
+    params: Params,
+    cfg: OCR2Config,
+    images: list,  # [(image_base [1,3,S,S], patches [P,3,c,c] | None), ...]
+) -> jnp.ndarray:
+    """Vision tokens for several images, concatenated in prompt order.
+
+    Each image contributes its own local->global->separator block
+    (reference deepseek_ocr2.rs:222-234 applied per image)."""
+    return jnp.concatenate(
+        [encode_views(params, cfg, base, patches) for base, patches in images],
+        axis=0,
+    )
+
+
 def ocr_prefill_embeds(
     params: Params,
     cfg: OCR2Config,

@@ -34,26 +34,49 @@ def tokenize_with_image(
 
     The placeholder block is always contiguous; `image_start` is its index.
     """
-    parts = prompt.split("<image>")
-    if len(parts) != 2:
+    if prompt.count("<image>") != 1:
         raise ValueError("prompt must contain exactly one '<image>' placeholder")
+    ids, mask, starts = tokenize_with_images(tokenizer, prompt, cfg, [crop_ratio])
+    return ids, mask, starts[0]
+
+
+def tokenize_with_images(
+    tokenizer,
+    prompt: str,
+    cfg: OCR2Config,
+    crop_ratios: List[Tuple[int, int]],
+) -> Tuple[List[int], List[bool], List[int]]:
+    """Multi-image variant: every `<image>` in the prompt expands into its
+    own placeholder block (one crop ratio per image, in order). Returns
+    (ids, image_mask, image_starts). Non-contiguous masks are injected via
+    the scatter path (models.deepseek_ocr2.build_inputs_embeds_masked,
+    reference deepseek_ocr2.rs:273-297)."""
+    parts = prompt.split("<image>")
+    n_images = len(parts) - 1
+    if n_images < 1:
+        raise ValueError("prompt must contain at least one '<image>' placeholder")
+    if len(crop_ratios) != n_images:
+        raise ValueError(
+            f"prompt has {n_images} '<image>' placeholders but "
+            f"{len(crop_ratios)} crop ratios were given"
+        )
 
     ids: List[int] = [cfg.bos_token_id]
     mask: List[bool] = [False]
-    image_start = -1
+    starts: List[int] = []
 
     for pi, part in enumerate(parts):
         if part:
             enc = tokenizer.encode(part, add_special_tokens=False)
             ids.extend(enc.ids)
             mask.extend([False] * len(enc.ids))
-        if pi == 0:
-            n_img = cfg.image_token_count(crop_ratio)
-            image_start = len(ids)
+        if pi < n_images:
+            n_img = cfg.image_token_count(crop_ratios[pi])
+            starts.append(len(ids))
             ids.extend([cfg.image_token_id] * n_img)
             mask.extend([True] * n_img)
 
-    return ids, mask, image_start
+    return ids, mask, starts
 
 
 def decode_output(
