@@ -19,8 +19,11 @@ serving prefill. These kernels implement the sorted grouped GEMM directly:
   vectorized searchsorted over the group-offset prefix sums and fed to the
   kernel via scalar prefetch.
 
-Numerics match ops/moe.moe_ffn_ragged exactly: bf16 GEMMs rounded at the
-same points, silu in f32, final combine in f32 on the XLA side.
+Numerics: bf16 GEMMs rounded at the same points as the XLA grouped path
+(ragged_dot), silu in f32, final combine in f32 on the XLA side. Not
+bit-exact vs ragged_dot (its K-tiling rounds differently — see
+test_gmm_bf16_matches_ragged_to_ulp); the binding contract is LM-level
+greedy parity, pinned by the torch-oracle tests.
 
 Reference parity note: replaces the reference's CPU-sorted per-expert GEMM
 slices (deepseek_v2.rs:706-797) at TPU speed.
@@ -130,6 +133,149 @@ def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, a_ref, d_ref, o_ref, *, bm)
     o_ref[:] = jnp.where(in_rows, y, o_ref[:])
 
 
+def _gmm_dx_kernel(vt_ref, ve_ref, lo_ref, hi_ref, a_ref, w_ref, o_ref, *, bm):
+    """Row-grouped GEMM against the TRANSPOSED expert weight: out = a @ w^T,
+    i.e. w [E, O, C] contracted on its last dim — no transposed weight copy
+    ever materializes (the MXU contracts either rhs dim)."""
+    v = pl.program_id(0)
+    row0 = vt_ref[v] * bm
+    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    in_rows = (ga >= lo_ref[v]) & (ga < hi_ref[v])
+    a = a_ref[:]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if a.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    y = jax.lax.dot_general(
+        a,
+        w_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(a.dtype)
+    o_ref[:] = jnp.where(in_rows, y, o_ref[:])
+
+
+def _gmm_dx_call(schedule, a, w, *, bm, interpret=False):
+    """a [M_pad, C] x w [E, O, C] -> [M_pad, O] (per-group a @ w_e^T)."""
+    vt, ve, lo, hi = schedule
+    m_pad = a.shape[0]
+    v_total = vt.shape[0]
+    e, out_dim, in_dim = w.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(v_total,),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, in_dim),
+                lambda v, vt, ve, lo, hi: (vt[v], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, out_dim, in_dim),
+                lambda v, vt, ve, lo, hi: (ve[v], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, out_dim),
+            lambda v, vt, ve, lo, hi: (vt[v], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm_dx_kernel, bm=bm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, out_dim), a.dtype),
+        interpret=interpret,
+    )(vt, ve, lo, hi, a, w)
+
+
+def _gmm_dw_kernel(
+    vt_ref, ve_ref, lo_ref, hi_ref, first_ref, x_ref, dy_ref, o_ref, *, bm
+):
+    """Per-expert weight gradient: accumulate x_tile^T @ dy_tile (rows
+    masked to the visit's group) into the expert's [C, O] block. An
+    expert's visits are consecutive in the schedule (groups are contiguous
+    in sorted rows), so the out block stays VMEM-resident across its
+    visits; `first_ref` marks each expert's first visit (initialize vs
+    accumulate). Pad visits target a trash slot (row E)."""
+    v = pl.program_id(0)
+    row0 = vt_ref[v] * bm
+    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    in_rows = (ga >= lo_ref[v]) & (ga < hi_ref[v])
+    # Mask BOTH operands: rows outside the group can hold garbage (pad rows
+    # of recomputed activations are never written) and 0 * NaN = NaN.
+    x = jnp.where(in_rows, x_ref[:], jnp.zeros_like(x_ref))
+    dy = jnp.where(in_rows, dy_ref[:], jnp.zeros_like(dy_ref))
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    dwp = jax.lax.dot_general(
+        x,
+        dy,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [C, O] f32
+
+    @pl.when(first_ref[v] == 1)
+    def _():
+        o_ref[0] = dwp
+
+    @pl.when(first_ref[v] == 0)
+    def _():
+        o_ref[0] = o_ref[0] + dwp
+
+
+def _gmm_dw_call(schedule, x, dy, e, *, bm, interpret=False):
+    """Per-expert dW = sum over group rows of x^T dy. Returns [E, C, O] f32.
+
+    Blocks for experts with zero assignments may be untouched (garbage):
+    callers must mask with group_sizes > 0."""
+    vt, ve, lo, hi = schedule
+    v_total = vt.shape[0]
+    c = x.shape[1]
+    o = dy.shape[1]
+    # Out-block visit order must never revisit a block non-consecutively:
+    # route pad/empty visits (lo == hi) to a trash slot (row E).
+    pad = lo >= hi
+    ve_out = jnp.where(pad, e, ve).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), ve_out[:-1]])
+    first = (ve_out != prev).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(v_total,),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, c),
+                lambda v, vt, ve, lo, hi, first: (vt[v], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bm, o),
+                lambda v, vt, ve, lo, hi, first: (vt[v], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, o),
+            lambda v, vt, ve, lo, hi, first: (ve[v], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gmm_dw_kernel, bm=bm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e + 1, c, o), jnp.float32),
+        interpret=interpret,
+    )(vt, ve_out, lo, hi, first, x, dy)
+    return out[:e]
+
+
 def _gmm_call(kernel, schedule, x, w, out_dim, *, bm, interpret=False):
     vt, ve, lo, hi = schedule
     m_pad, _ = x.shape
@@ -203,31 +349,100 @@ def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, bm, interpret=False):
     )(vt, ve, lo, hi, x, w_gate, w_up)
 
 
-@jax.custom_vjp
-def _moe_ffn_gmm_diff(x_flat, experts, weights, idx):
-    return _moe_ffn_gmm_impl(x_flat, experts, weights, idx)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _moe_ffn_gmm_diff(interpret, x_flat, experts, weights, idx):
+    return _moe_ffn_gmm_impl(x_flat, experts, weights, idx, interpret=interpret)
 
 
-def _moe_ffn_gmm_fwd(x_flat, experts, weights, idx):
-    out = _moe_ffn_gmm_impl(x_flat, experts, weights, idx)
+def _moe_ffn_gmm_fwd(interpret, x_flat, experts, weights, idx):
+    out = _moe_ffn_gmm_impl(x_flat, experts, weights, idx, interpret=interpret)
     return out, (x_flat, experts, weights, idx)
 
 
-def _moe_ffn_gmm_bwd(res, g):
-    # Backward through the XLA grouped path (numerically the same function;
-    # the Pallas kernels define no VJP). Training steps on TPU pay the
-    # slower ragged_dot only in the backward pass.
+def _moe_ffn_gmm_bwd(interpret, res, g):
+    """Visit-scheduled Pallas backward (r2 verdict #8: the old XLA-grouped
+    VJP routed every backward GEMM through ~5 TF/s ragged_dot).
+
+    Recomputes the sorted pre-activations with 3 forward-style gmm calls
+    (cheaper than saving [M, I] residuals), then runs:
+    - 3 `dx`-type calls (grouped a @ w_e^T, weights contracted on their
+      last dim — no transposed weight copies), and
+    - 3 `dw`-type calls (per-expert x^T dy row-contractions accumulated
+      in VMEM across each expert's consecutive visits).
+    ~3x the forward's weight streams, all at plain-GEMM MXU rates.
+    """
     import numpy as np
 
-    from .moe import moe_ffn_ragged
-
     x_flat, experts, weights, idx = res
-    _, vjp = jax.vjp(
-        lambda x, e, w: moe_ffn_ragged(x, e, w, idx), x_flat, experts, weights
+    n, h = x_flat.shape
+    k = idx.shape[1]
+    e, _, i = experts["gate"].shape
+    m = n * k
+    bm = _pick_bm(m)
+    m_pad = -(-m // bm) * bm
+    dt = x_flat.dtype
+
+    flat_idx = idx.reshape(m)
+    order = jnp.argsort(flat_idx, stable=True)
+    token_of = order // k
+    x_sorted = jnp.take(x_flat, token_of, axis=0)
+    if m_pad != m:
+        x_sorted = jnp.pad(x_sorted, ((0, m_pad - m), (0, 0)))
+    group_sizes = jnp.bincount(flat_idx, length=e).astype(jnp.int32)
+    schedule = _visit_schedule(group_sizes, m_pad, bm)
+    call = functools.partial(_gmm_call, bm=bm, interpret=interpret)
+    dx_call = functools.partial(_gmm_dx_call, bm=bm, interpret=interpret)
+    dw_call = functools.partial(_gmm_dw_call, bm=bm, interpret=interpret)
+
+    # Recompute pre-activations (sorted, padded).
+    gate = call(_gmm_down_kernel, schedule, x_sorted, experts["gate"], i)
+    up = call(_gmm_down_kernel, schedule, x_sorted, experts["up"], i)
+    gate_f = gate.astype(jnp.float32)
+    sig = jax.nn.sigmoid(gate_f)
+    silu_g = gate_f * sig
+    act = silu_g.astype(dt) * up
+    y_sorted = call(_gmm_down_kernel, schedule, act, experts["down"], h)
+
+    # Combine backward: out[n] = sum_j w[n,j] * y[n,j] (f32 combine).
+    w_sorted = jnp.take(weights.reshape(m).astype(jnp.float32), order)
+    g_rows = jnp.take(g.astype(jnp.float32), token_of, axis=0)  # [M, H]
+    dy_sorted = (g_rows * w_sorted[:, None]).astype(dt)
+    if m_pad != m:
+        dy_sorted = jnp.pad(dy_sorted, ((0, m_pad - m), (0, 0)))
+    dwt_sorted = jnp.sum(y_sorted[:m].astype(jnp.float32) * g_rows, axis=1)  # [M]
+    inv = jnp.argsort(order, stable=True)
+    d_weights = jnp.take(dwt_sorted, inv).reshape(n, k).astype(weights.dtype)
+
+    # SwiGLU backward (elementwise in f32; silu'(x) = sig(x)(1 + x(1-sig))).
+    dact = dx_call(schedule, dy_sorted, experts["down"])  # [M_pad, I]
+    dact_f = dact.astype(jnp.float32)
+    dup = (dact_f * silu_g).astype(dt)
+    dgate = (dact_f * up.astype(jnp.float32) * (sig * (1.0 + gate_f * (1.0 - sig)))).astype(dt)
+
+    dx_sorted = dx_call(schedule, dgate, experts["gate"]) + dx_call(
+        schedule, dup, experts["up"]
+    )  # [M_pad, H]
+    dx = (
+        jnp.zeros((n, h), jnp.float32)
+        .at[token_of]
+        .add(dx_sorted[:m].astype(jnp.float32))
+        .astype(dt)
     )
-    dx, de, dw = vjp(g)
+
+    mask_e = (group_sizes > 0)[:, None, None]  # untouched dW blocks = garbage
+    d_experts = {
+        "gate": jnp.where(mask_e, dw_call(schedule, x_sorted, dgate, e), 0.0).astype(
+            experts["gate"].dtype
+        ),
+        "up": jnp.where(mask_e, dw_call(schedule, x_sorted, dup, e), 0.0).astype(
+            experts["up"].dtype
+        ),
+        "down": jnp.where(mask_e, dw_call(schedule, act, dy_sorted, e), 0.0).astype(
+            experts["down"].dtype
+        ),
+    }
     d_idx = np.zeros(idx.shape, jax.dtypes.float0)  # integer arg: no gradient
-    return dx, de, dw, d_idx
+    return dx, d_experts, d_weights, d_idx
 
 
 _moe_ffn_gmm_diff.defvjp(_moe_ffn_gmm_fwd, _moe_ffn_gmm_bwd)
@@ -243,11 +458,9 @@ def moe_ffn_gmm(
 ) -> jnp.ndarray:
     """Exact grouped-GEMM MoE FFN (prefill scale). Returns [N, H] in x dtype.
 
-    Differentiable: the forward runs the Pallas kernels, the backward runs
-    the VJP of the XLA grouped path (same math)."""
-    if interpret:
-        return _moe_ffn_gmm_impl(x_flat, experts, weights, idx, interpret=True)
-    return _moe_ffn_gmm_diff(x_flat, experts, weights, idx)
+    Differentiable: forward AND backward run the visit-scheduled Pallas
+    kernels (backward as transposed-contraction + per-expert dW calls)."""
+    return _moe_ffn_gmm_diff(interpret, x_flat, experts, weights, idx)
 
 
 def _moe_ffn_gmm_impl(

@@ -53,3 +53,40 @@ def sgd_train_step(
         grads,
     )
     return new_params, loss
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.95,
+    clip_norm: float = 1.0,
+):
+    """AdamW with global-norm clipping (the fine-tuning default)."""
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
+def init_opt_state(tx, params):
+    """Initialize optimizer state under jit: moment tensors inherit the
+    parameters' shardings, so on a mesh the state is sharded exactly like
+    the params (TP/EP rows never gather to one device)."""
+    return jax.jit(tx.init)(params)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+def adamw_train_step(
+    params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, tx
+) -> Tuple[dict, object, jnp.ndarray]:
+    """One AdamW step; returns (new_params, new_opt_state, loss).
+
+    Gradients flow through the Pallas visit-scheduled MoE backward on TPU
+    (ops/moe_gmm._moe_ffn_gmm_bwd); params and optimizer moments are
+    donated so the update is in-place at XLA level.
+    """
+    loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

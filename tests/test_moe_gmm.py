@@ -136,3 +136,36 @@ def test_gmm_custom_vjp_matches_ragged_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
         )
+
+
+def test_gmm_backward_matches_ragged_vjp():
+    """The visit-scheduled Pallas backward (dx / dW / dweights kernels) must
+    match the VJP of the XLA grouped path to f32 roundoff."""
+    e, h, i, k, n = 8, 64, 96, 2, 70
+    experts = _experts(e, h, i, seed=3)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    router = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32) * 0.1)
+    w, idx = route(x, router, k)
+    cot = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+
+    @jax.jit
+    def grads_gmm(x, ex, w):
+        return jax.grad(
+            lambda x, ex, w: jnp.sum(moe_ffn_gmm(x, ex, w, idx, interpret=True) * cot),
+            argnums=(0, 1, 2),
+        )(x, ex, w)
+
+    @jax.jit
+    def grads_ref(x, ex, w):
+        return jax.grad(
+            lambda x, ex, w: jnp.sum(moe_ffn_ragged(x, ex, w, idx) * cot),
+            argnums=(0, 1, 2),
+        )(x, ex, w)
+
+    gg = grads_gmm(x, experts, w)
+    gr = grads_ref(x, experts, w)
+    for a, b in zip(jax.tree_util.tree_leaves(gg), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-6, rtol=3e-6
+        )

@@ -33,3 +33,26 @@ def test_grads_cover_all_params():
     flat, _ = jax.tree_util.tree_flatten(grads)
     nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in flat)
     assert nonzero >= len(flat) - 1  # router of unused experts may be zero
+
+
+def test_adamw_reduces_loss():
+    from deepseek_ocr2_tpu.runtime.train import (
+        adamw_train_step,
+        init_opt_state,
+        make_optimizer,
+    )
+
+    cfg = tiny_lm_config(num_hidden_layers=2)
+    params = dsv2.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tx = make_optimizer(lr=5e-3)
+    opt_state = init_opt_state(tx, params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)), jnp.int32)
+
+    first = float(lm_loss(params, cfg, ids))
+    loss = None
+    for _ in range(5):
+        params, opt_state, loss = adamw_train_step(params, opt_state, cfg, ids, tx)
+    last = float(loss)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
