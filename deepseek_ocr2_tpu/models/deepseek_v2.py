@@ -341,6 +341,24 @@ def _index_tree(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+def _lift_experts_for_decode(layers_moe, n_rows: int, cfg: DeepseekV2Config):
+    """Decide whether batched decode should use the fused distinct-expert
+    kernel, and if so lift the expert stack OUT of the scan xs: a scan-sliced
+    stacked operand feeding an opaque Pallas call materializes a ~440 MB
+    copy per layer per step (measured 34 vs 19 ms/step at b=32), while the
+    layer-indexed kernel DMAs straight from the full stack.
+
+    Returns (layers_moe_for_xs, experts_stack_or_None)."""
+    from ..ops.flash_attention import pallas_enabled
+
+    if n_rows * cfg.num_experts_per_tok > cfg.n_routed_experts and pallas_enabled():
+        return (
+            {k: v for k, v in layers_moe.items() if k != "experts"},
+            layers_moe["experts"],
+        )
+    return layers_moe, None
+
+
 def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
     """Weight-only int8 quantization (opt-in).
 
@@ -485,6 +503,12 @@ def lm_forward(
         weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
         if is_prefill:
             routed = moe_ffn_prefill(x_flat, layer["experts"], weights, idx)
+        elif experts_stack is not None:
+            from ..ops.moe_decode import moe_ffn_decode_fused
+
+            routed = moe_ffn_decode_fused(
+                x_flat, experts_stack, weights, idx, layer_idx=li - ld
+            )
         else:
             routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
         shared = swiglu(
@@ -493,7 +517,14 @@ def lm_forward(
         x = res + (routed + shared).reshape(b, s, h)
         return (x, k_all, v_all), None
 
-    moe_xs = (params["layers_moe"], jnp.arange(ld, cfg.num_hidden_layers))
+    moe_layers = params["layers_moe"]
+    if not is_prefill:
+        moe_layers, experts_stack = _lift_experts_for_decode(
+            moe_layers, embeds.shape[0] * embeds.shape[1], cfg
+        )
+    else:
+        experts_stack = None
+    moe_xs = (moe_layers, jnp.arange(ld, cfg.num_hidden_layers))
     (x, k_all, v_all), _ = jax.lax.scan(moe_layer_body, (x, k_all, v_all), moe_xs)
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
@@ -607,14 +638,24 @@ def lm_decode_step_ragged(
         b, s, h = xn.shape
         x_flat = xn.reshape(b * s, h)
         weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
-        routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
+        if experts_stack is not None:
+            from ..ops.moe_decode import moe_ffn_decode_fused
+
+            routed = moe_ffn_decode_fused(
+                x_flat, experts_stack, weights, idx, layer_idx=li - ld
+            )
+        else:
+            routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
         shared = swiglu(
             x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
         )
         x = res + (routed + shared).reshape(b, s, h)
         return (x, k_all, v_all), None
 
-    moe_xs = (params["layers_moe"], jnp.arange(ld, cfg.num_hidden_layers))
+    moe_layers, experts_stack = _lift_experts_for_decode(
+        params["layers_moe"], embeds.shape[0], cfg
+    )
+    moe_xs = (moe_layers, jnp.arange(ld, cfg.num_hidden_layers))
     (x, k_all, v_all), _ = jax.lax.scan(moe_layer_body, (x, k_all, v_all), moe_xs)
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)

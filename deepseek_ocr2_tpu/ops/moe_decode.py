@@ -83,7 +83,7 @@ def _combine_table(
 
 
 def _decode_kernel(
-    ve_ref, valid_ref, x_ref, g_ref, u_ref, d_ref, w_ref, o_ref, gacc_ref, uacc_ref
+    li_ref, ve_ref, valid_ref, x_ref, g_ref, u_ref, d_ref, w_ref, o_ref, gacc_ref, uacc_ref
 ):
     """Visit-major grid (E, n_s): sub-step s consumes the s-th contraction
     (H) chunk of gate/up; `down` is one full block fetched once per visit.
@@ -92,7 +92,7 @@ def _decode_kernel(
     v = pl.program_id(0)
     s = pl.program_id(1)
     n_s = pl.num_programs(1)
-    h_chunk = g_ref.shape[1]
+    h_chunk = g_ref.shape[2]
 
     @pl.when((v == 0) & (s == 0))
     def _():
@@ -104,14 +104,14 @@ def _decode_kernel(
         @pl.when(s == 0)
         def _():
             xs = x_ref[:, :h_chunk]
-            gacc_ref[:] = _dot(xs, g_ref[0])  # f32 [B, I]
-            uacc_ref[:] = _dot(xs, u_ref[0])
+            gacc_ref[:] = _dot(xs, g_ref[0, 0])  # f32 [B, I]
+            uacc_ref[:] = _dot(xs, u_ref[0, 0])
 
         @pl.when(s > 0)
         def _():
             xs = x_ref[:, x_ref.shape[1] - h_chunk :]
-            gacc_ref[:] = gacc_ref[:] + _dot(xs, g_ref[0])
-            uacc_ref[:] = uacc_ref[:] + _dot(xs, u_ref[0])
+            gacc_ref[:] = gacc_ref[:] + _dot(xs, g_ref[0, 0])
+            uacc_ref[:] = uacc_ref[:] + _dot(xs, u_ref[0, 0])
 
         @pl.when(s == n_s - 1)
         def _():
@@ -119,21 +119,33 @@ def _decode_kernel(
             gate = gacc_ref[:].astype(dtype)  # round like the XLA bf16 dot
             up = uacc_ref[:].astype(dtype)
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(dtype) * up
-            y = _dot(act, d_ref[0])  # f32 [B, H]
+            y = _dot(act, d_ref[0, 0])  # f32 [B, H]
             o_ref[:] = o_ref[:] + y * w_ref[0]
 
 
 def moe_ffn_decode_fused(
     x_flat: jnp.ndarray,  # [B, H]
-    experts: Dict[str, jnp.ndarray],  # gate/up: [E, H, I], down: [E, I, H]
+    experts: Dict[str, jnp.ndarray],  # gate/up: [(L,) E, H, I], down: [(L,) E, I, H]
     weights: jnp.ndarray,  # [B, K] f32
     idx: jnp.ndarray,  # [B, K] i32
     *,
+    layer_idx=None,  # traced i32 scalar when experts are layer-stacked
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused distinct-expert batched-decode MoE FFN. Returns [B, H] in x dtype."""
+    """Fused distinct-expert batched-decode MoE FFN. Returns [B, H] in x dtype.
+
+    Layer-stacked form: pass the WHOLE [L, E, ...] expert stack plus a
+    traced `layer_idx` — the kernel indexes the stack via scalar prefetch,
+    so a lax.scan over layers never slices the stack (a scan-sliced operand
+    feeding an opaque custom call would materialize a ~440 MB copy per
+    layer per step; cf. quantize_lm_params' per-layer storage note)."""
     b, h = x_flat.shape
-    e, _, i = experts["gate"].shape
+    if experts["gate"].ndim == 3:
+        experts = {k: v[None] for k, v in experts.items()}  # free reshape
+        layer_idx = 0
+    assert layer_idx is not None, "layer_idx required for stacked experts"
+    li = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    _, e, _, i = experts["gate"].shape
     # Contraction split keeps the per-step weight working set (~2 x H/2 x I
     # + I x H) inside VMEM with double-buffering; needs sublane-aligned
     # chunks (full expert fits anyway for tiny test configs).
@@ -146,35 +158,39 @@ def moe_ffn_decode_fused(
     w_visit = _combine_table(idx, weights, ve, valid, e, b_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(e, n_s),
         in_specs=[
             pl.BlockSpec(
-                (b_pad, h), lambda v, s, ve, valid: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, h_chunk, i),
-                lambda v, s, ve, valid: (ve[v], s, 0),
+                (b_pad, h),
+                lambda v, s, li, ve, valid: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h_chunk, i),
-                lambda v, s, ve, valid: (ve[v], s, 0),
+                (1, 1, h_chunk, i),
+                lambda v, s, li, ve, valid: (li[0], ve[v], s, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, i, h),
-                lambda v, s, ve, valid: (ve[v], 0, 0),
+                (1, 1, h_chunk, i),
+                lambda v, s, li, ve, valid: (li[0], ve[v], s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, i, h),
+                lambda v, s, li, ve, valid: (li[0], ve[v], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, b_pad, 1),
-                lambda v, s, ve, valid: (v, 0, 0),
+                lambda v, s, li, ve, valid: (v, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (b_pad, h), lambda v, s, ve, valid: (0, 0), memory_space=pltpu.VMEM
+            (b_pad, h),
+            lambda v, s, li, ve, valid: (0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((b_pad, i), jnp.float32),
@@ -186,7 +202,7 @@ def moe_ffn_decode_fused(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, h), jnp.float32),
         interpret=interpret,
-    )(ve, valid, x, experts["gate"], experts["up"], experts["down"], w_visit)
+    )(li, ve, valid, x, experts["gate"], experts["up"], experts["down"], w_visit)
     return out[:b].astype(x_flat.dtype)
 
 

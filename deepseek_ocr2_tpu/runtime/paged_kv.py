@@ -195,6 +195,9 @@ def lm_decode_step_paged(
 
     cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
     sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+    from ..models.deepseek_v2 import _lift_experts_for_decode
+
+    moe_layers, experts_stack = _lift_experts_for_decode(params["layers_moe"], b, cfg)
 
     def layer_step(x, layer, li, k_pool, v_pool):
         res = x
@@ -210,7 +213,14 @@ def lm_decode_step_paged(
         x_flat = xn.reshape(b, h)
         if "router" in layer:
             weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
-            routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
+            if experts_stack is not None:
+                from ..ops.moe_decode import moe_ffn_decode_fused
+
+                routed = moe_ffn_decode_fused(
+                    x_flat, experts_stack, weights, idx, layer_idx=li - ld
+                )
+            else:
+                routed = moe_ffn_decode(x_flat, layer["experts"], weights, idx)
             shared = swiglu(
                 x_flat, layer["shared"]["gate"], layer["shared"]["up"], layer["shared"]["down"]
             )
@@ -237,7 +247,7 @@ def lm_decode_step_paged(
         x, k_all, v_all = layer_step(x, layer, li, k_all, v_all)
         return (x, k_all, v_all), None
 
-    moe_xs = (params["layers_moe"], jnp.arange(ld, cfg.num_hidden_layers))
+    moe_xs = (moe_layers, jnp.arange(ld, cfg.num_hidden_layers))
     (x, k_all, v_all), _ = jax.lax.scan(moe_body, (x, k_all, v_all), moe_xs)
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
