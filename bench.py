@@ -66,6 +66,44 @@ def _decode_hbm_bytes_per_token(lm, cfg, kv_len: int) -> float:
     return total
 
 
+def _measure_serve(params, cfg: OCR2Config) -> float:
+    """Continuous-engine pages/s on real PIL images (no-crop, 32 new tokens):
+    the only number here that pays for host preprocessing and the host-side
+    serving loop."""
+    from PIL import Image
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    from deepseek_ocr2_tpu.runtime.continuous import ContinuousOCREngine
+    from deepseek_ocr2_tpu.runtime.pipeline import OCR2Pipeline
+
+    tok = Tokenizer(
+        models.WordLevel({"<unk>": 2, "Free": 10, "OCR.": 11}, unk_token="<unk>")
+    )
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+
+    rng = np.random.default_rng(7)
+    n_pages = 16
+    pages = [
+        Image.fromarray(rng.integers(0, 256, (960, 1280, 3), np.uint8))
+        for _ in range(n_pages)
+    ]
+    pipe = OCR2Pipeline(params, cfg, tok, kv_dtype="bfloat16")
+    engine = ContinuousOCREngine(
+        pipe, slots=8, capacity=bucket_capacity(262 + MAX_NEW), chunk_steps=16
+    )
+
+    def run():
+        return engine.run(
+            pages, prompt="<image> Free OCR.", max_new_tokens=MAX_NEW, no_crop=True,
+            ngram_size=NGRAM,
+        )
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    run()
+    return n_pages / (time.perf_counter() - t0)
+
+
 def build_prompt(cfg: OCR2Config):
     n_img = cfg.image_token_count((1, 1))  # no-crop: 257
     ids = [cfg.bos_token_id] + [cfg.image_token_id] * n_img + [185, 14689, 6192, 13]
@@ -259,6 +297,54 @@ def main() -> None:
     crop_pages_per_sec_q8 = measure_crop(lm_q8)
     del lm_q8
 
+    # Crop config at FULL dynamic tiling (config #3 worst case): 3x2 grid
+    # (6 tiles) + global view. The 2x1 number above measures the easiest
+    # crop layout; this one carries 1121 image tokens per page.
+    crop6_b = 2
+    n_img_c6 = cfg.image_token_count((3, 2))
+    ids_c6 = np.asarray(
+        [cfg.bos_token_id] + [cfg.image_token_id] * n_img_c6 + [185, 14689, 6192, 13],
+        np.int32,
+    )
+    ids_c6b = jnp.asarray(np.tile(ids_c6, (crop6_b, 1)))
+    cap_c6 = bucket_capacity(len(ids_c6) + MAX_NEW)
+    crops6 = jax.random.uniform(
+        jax.random.PRNGKey(3),
+        (crop6_b, 6, 3, cfg.crop_image_size, cfg.crop_image_size),
+        jnp.bfloat16,
+        minval=-1,
+        maxval=1,
+    )
+
+    def crop6_batch():
+        embeds = crop_prefill(params, ids_c6b, images[:crop6_b], crops6)
+        tokens, _ = greedy_generate(
+            params["lm"],
+            cfg.lm,
+            embeds,
+            ids_c6b,
+            max_new_tokens=MAX_NEW,
+            ngram_size=NGRAM,
+            eos_id=cfg.eos_token_id,
+            capacity=cap_c6,
+            kv_dtype="bfloat16",
+        )
+        return np.asarray(tokens[:, -1])
+
+    crop6_batch()
+    times_c6 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        crop6_batch()
+        times_c6.append(time.perf_counter() - t0)
+    crop6_pages_per_sec = crop6_b / float(np.median(times_c6))
+
+    # Serve path END-TO-END: continuous engine on real PIL images — includes
+    # host preprocessing (prefetch-overlapped), tokenization, admission,
+    # paged decode, detokenization. The gap vs the synthetic number above is
+    # the whole-system overhead.
+    serve_pages_per_sec = _measure_serve(params, cfg)
+
     target_per_chip = 20.0 / 8.0
     print(
         json.dumps(
@@ -276,6 +362,8 @@ def main() -> None:
                 "first_token_ms": round(first_token_ms, 1),
                 "crop_pages_per_sec": round(crop_pages_per_sec, 3),
                 "crop_pages_per_sec_int8": round(crop_pages_per_sec_q8, 3),
+                "crop6_pages_per_sec": round(crop6_pages_per_sec, 3),
+                "serve_pages_per_sec": round(serve_pages_per_sec, 3),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -395,14 +395,69 @@ class ContinuousOCREngine:
                 admit_t[slot] = time.perf_counter()
                 prefill_t[slot] = dt
 
+        # Host preprocessing overlaps device decode (r2 verdict #5): a single
+        # worker thread preprocesses upcoming pending pages while the main
+        # thread waits on decode-chunk dispatches (the device round-trip
+        # releases the GIL, and the native resize path runs in C). Admission
+        # then usually finds its pages ready instead of stalling the decoder
+        # on host pixel work.
+        import threading
+
         preprocessed: Dict[int, tuple] = {}
+        pre_in_flight: set = set()
+        pre_cv = threading.Condition()
+        pre_stop = False
+        pre_ahead = max(2 * b, 8)
+
+        def _preprocess(p):
+            return pipe.preprocess_image(
+                images[p], no_crop=no_crop, rotate=rotate, auto_rotate=auto_rotate
+            )
+
+        def _prefetch_worker():
+            while True:
+                with pre_cv:
+                    if pre_stop:
+                        return
+                    target = next(
+                        (
+                            p
+                            for p in list(pending[:pre_ahead])
+                            if p not in preprocessed and p not in pre_in_flight
+                        ),
+                        None,
+                    )
+                    if target is None:
+                        pre_cv.wait(timeout=0.02)
+                        continue
+                    pre_in_flight.add(target)
+                try:
+                    out = _preprocess(target)
+                except Exception:
+                    # Leave the page un-preprocessed: ensure_preprocessed
+                    # will retry on the main thread and surface the error.
+                    out = None
+                with pre_cv:
+                    if out is not None:
+                        preprocessed[target] = out
+                    pre_in_flight.discard(target)
+                    pre_cv.notify_all()
+
+        prefetch_thread = threading.Thread(target=_prefetch_worker, daemon=True)
 
         def ensure_preprocessed(page_idxs):
             for p in page_idxs:
-                if p not in preprocessed:
-                    preprocessed[p] = pipe.preprocess_image(
-                        images[p], no_crop=no_crop, rotate=rotate, auto_rotate=auto_rotate
-                    )
+                with pre_cv:
+                    while p in pre_in_flight:  # worker already on it
+                        pre_cv.wait()
+                    if p in preprocessed:
+                        continue
+                    pre_in_flight.add(p)
+                out = _preprocess(p)
+                with pre_cv:
+                    preprocessed[p] = out
+                    pre_in_flight.discard(p)
+                    pre_cv.notify_all()
 
         def admit_pending():
             """Admit pending pages into free slots in power-of-two batches
@@ -511,32 +566,39 @@ class ContinuousOCREngine:
                         new_tokens=len(gen_ids),
                     )
 
-        while pending or slot_page:
-            # In-flight slots get pages first; admission takes the leftovers
-            # (admitting into pages a live slot is about to need would just
-            # preempt the new arrival again).
-            grow_pages()
-            admit_pending()
-            if slot_page and not all(done_np[s] for s in slot_page):
-                cache, tokens, cur_lens, done, status = decode_chunk(
-                    lm,
-                    cache,
-                    tokens,
-                    cur_lens,
-                    done,
-                    limits,
-                    jnp.asarray(block_tables_np),
-                    seeds,
-                    lm_cfg,
-                    n_steps=self.chunk_steps,
-                    ngram_size=ngram_size,
-                    eos_id=eos,
-                    **samp_static,
-                )
-                status_h = np.asarray(status)
-                lens_np[:] = status_h[:b]
-                done_np[:] = status_h[b:].astype(bool)
-            harvest()
+        prefetch_thread.start()
+        try:
+            while pending or slot_page:
+                # In-flight slots get pages first; admission takes the
+                # leftovers (admitting into pages a live slot is about to
+                # need would just preempt the new arrival again).
+                grow_pages()
+                admit_pending()
+                if slot_page and not all(done_np[s] for s in slot_page):
+                    cache, tokens, cur_lens, done, status = decode_chunk(
+                        lm,
+                        cache,
+                        tokens,
+                        cur_lens,
+                        done,
+                        limits,
+                        jnp.asarray(block_tables_np),
+                        seeds,
+                        lm_cfg,
+                        n_steps=self.chunk_steps,
+                        ngram_size=ngram_size,
+                        eos_id=eos,
+                        **samp_static,
+                    )
+                    status_h = np.asarray(status)
+                    lens_np[:] = status_h[:b]
+                    done_np[:] = status_h[b:].astype(bool)
+                harvest()
+        finally:
+            with pre_cv:
+                pre_stop = True
+                pre_cv.notify_all()
+            prefetch_thread.join(timeout=10.0)
 
         self.last_preempted = n_preempted
         return results  # type: ignore[return-value]
