@@ -464,16 +464,25 @@ def lm_forward(
     # design (scan over cache xs/ys + dense/moe concat) re-materialized the
     # whole pool every decode step; in-place carry updates let XLA alias the
     # loop buffers (VERDICT r1 #10).
+    # Decode with Pallas available: operate on the stacked cache in place
+    # (one-timestep scatter + layer-indexed kernel read); the XLA fallback
+    # slices/updates the layer's whole K/V through the carry.
+    stacked_attn = (not is_prefill) and pallas_enabled()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
+            )
+        else:
+            attn_out, ck, cv = _attention(
+                xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -486,15 +495,20 @@ def lm_forward(
     def moe_layer_body(carry, xs):
         x, k_all, v_all = carry
         layer, li = xs
-        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, ck, cv, pos, is_prefill
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
+            )
+        else:
+            ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            attn_out, ck, cv = _attention(
+                xn, layer["attn"], cfg, cos, sin, ck, cv, pos, is_prefill
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -529,6 +543,63 @@ def lm_forward(
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return hidden, {"k": k_all, "v": v_all}
+
+
+def _attention_decode_stacked(
+    x: jnp.ndarray,  # [B, 1, H]
+    attn: Dict[str, jnp.ndarray],
+    cfg: DeepseekV2Config,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, B, Hh, cap, D] full stacked cache
+    v_all: jnp.ndarray,
+    li,  # scalar i32 layer index (python int or traced)
+    pos,  # scalar i32 shared position OR [B] per-slot positions
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode attention operating on the layer-stacked cache IN PLACE.
+
+    The XLA decode path slices cache[li] out of the carry and writes the
+    whole layer back every step — two ~42 MB copies per layer at b=32,
+    measured ~870 us/layer in the decode trace (the dominant step cost,
+    bigger than the MoE weights). Here the new token's K/V is scattered
+    directly at [li, rows, :, pos, :] (one timestep, ~0.3 MB) and attention
+    reads the cache through the layer-indexed Pallas kernel
+    (ops/paged_attention.decode_attention_stacked) — the cache is streamed
+    exactly once per layer and never copied.
+    """
+    from ..ops.paged_attention import decode_attention_stacked
+
+    b, s, h = x.shape
+    assert s == 1
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    kv_dtype = k_all.dtype
+
+    q, k, v = _qkv_proj(x, attn, b, 1, nh, d, decode=True)
+
+    pos_b = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    cos_b = jnp.take(cos, pos_b, axis=0)[:, None, None, :]  # [B,1,1,D]
+    sin_b = jnp.take(sin, pos_b, axis=0)[:, None, None, :]
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+
+    def rot(t):
+        half = t.shape[-1] // 2
+        return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+
+    q32 = q32 * cos_b + rot(q32) * sin_b
+    k32 = k32 * cos_b + rot(k32) * sin_b
+    v32 = v.astype(jnp.float32)
+
+    rows = jnp.arange(b)
+    li = jnp.asarray(li, jnp.int32)
+    k_all = k_all.at[li, rows, :, pos_b, :].set(k32[:, :, 0, :].astype(kv_dtype))
+    v_all = v_all.at[li, rows, :, pos_b, :].set(v32[:, :, 0, :].astype(kv_dtype))
+
+    ctx = decode_attention_stacked(
+        q32[:, :, 0, :], k_all, v_all, li, pos_b + 1, scale=1.0 / math.sqrt(d)
+    )  # [B, Hh, D] f32
+    ctx = ctx.reshape(b, 1, h).astype(x.dtype)
+    return _o_proj(ctx, attn, decode=True), k_all, v_all
 
 
 def _attention_decode_ragged(
@@ -600,17 +671,24 @@ def lm_decode_step_ragged(
     x = embeds
     ld = cfg.first_k_dense_replace
 
-    # In-place stacked-cache carry (see lm_forward).
+    # In-place stacked-cache carry (see lm_forward); with Pallas, the
+    # stacked kernel avoids the per-layer slice/update copies entirely.
+    stacked_attn = pallas_enabled()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
+            )
+        else:
+            attn_out, ck, cv = _attention_decode_ragged(
+                xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -623,15 +701,20 @@ def lm_decode_step_ragged(
     def moe_layer_body(carry, xs):
         x, k_all, v_all = carry
         layer, li = xs
-        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, ck, cv, pos
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
+            )
+        else:
+            ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+            attn_out, ck, cv = _attention_decode_ragged(
+                xn, layer["attn"], cfg, cos, sin, ck, cv, pos
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -744,16 +827,22 @@ def _lm_forward_q8(
 
     # In-place stacked-cache updates (see lm_forward) — the unrolled loop
     # previously re-stacked all L per-layer caches every step.
+    stacked_attn = (not is_prefill) and pallas_enabled()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
+            )
+        else:
+            attn_out, ck, cv = _attention(
+                xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -767,11 +856,16 @@ def _lm_forward_q8(
         layer = _q8_layer_weights(params, "moe", j)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention(
-            xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos, is_prefill
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
+            )
+        else:
+            attn_out, ck, cv = _attention(
+                xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos, is_prefill
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -798,15 +892,21 @@ def _lm_decode_step_ragged_q8(
     b, s, h = x.shape
 
     k_all, v_all = cache["k"], cache["v"]
+    stacked_attn = pallas_enabled()
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
+            )
+        else:
+            attn_out, ck, cv = _attention_decode_ragged(
+                xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -820,11 +920,16 @@ def _lm_decode_step_ragged_q8(
         layer = _q8_layer_weights(params, "moe", j)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, ck, cv = _attention_decode_ragged(
-            xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos
-        )
-        k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
-        v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        if stacked_attn:
+            attn_out, k_all, v_all = _attention_decode_stacked(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
+            )
+        else:
+            attn_out, ck, cv = _attention_decode_ragged(
+                xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos
+            )
+            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)

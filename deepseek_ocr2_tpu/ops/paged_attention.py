@@ -281,3 +281,138 @@ def paged_decode_attention_xla(
     s = jnp.where(k_pos < seq_lens[:, None, None], s, jnp.float32(NEG_INF))
     w = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhk,bhkd->bhd", w, v.astype(jnp.float32))
+
+
+def _stacked_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] i32
+    seq_lens_ref,  # [B] i32
+    # inputs
+    q_ref,  # [1, Hh, D]
+    k_ref,  # [1, 1, Hh, chunk, D] (layer selected via index_map)
+    v_ref,
+    # outputs
+    o_ref,  # [1, Hh, D]
+    # scratch
+    m_ref,  # [Hh, 1] f32
+    l_ref,  # [Hh, 1] f32
+    acc_ref,  # [Hh, D] f32
+    *,
+    scale: float,
+    chunk: int,
+):
+    del layer_ref  # consumed by the index_map only
+    bi = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    n_heads = q_ref.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        for hh in range(n_heads):
+            m_ref[hh, 0] = NEG_INF
+            l_ref[hh, 0] = 0.0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[bi]
+
+    @pl.when(c * chunk < seq_len)
+    def _():
+        # Mosaic has no batched-dot lowering: unroll the (static) head loop,
+        # 1-row dots per head like _paged_kernel. The whole [Hh, chunk, D]
+        # block still arrives in ONE DMA per grid step.
+        k_pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        for hh in range(n_heads):
+            q = q_ref[0, hh].astype(jnp.float32).reshape(1, -1)  # [1, D]
+            k = k_ref[0, 0, hh].astype(jnp.float32)  # [chunk, D]
+            v = v_ref[0, 0, hh].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)  # [1, chunk]
+            s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
+
+            m_old = m_ref[hh, 0]
+            m_new = jnp.maximum(m_old, jnp.max(s))
+            alpha = jnp.exp(m_old - m_new)
+            p_ij = jnp.exp(s - m_new)  # [1, chunk]
+            l_ref[hh, 0] = alpha * l_ref[hh, 0] + jnp.sum(p_ij)
+            acc_ref[hh : hh + 1] = acc_ref[hh : hh + 1] * alpha + jax.lax.dot_general(
+                p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_ref[hh, 0] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        for hh in range(n_heads):
+            denom = jnp.maximum(l_ref[hh, 0], 1e-37)
+            o_ref[0, hh] = (acc_ref[hh] / denom).astype(o_ref.dtype)
+
+
+def decode_attention_stacked(
+    q: jnp.ndarray,  # [B, Hh, D] query for the new token (f32)
+    k_all: jnp.ndarray,  # [L, B, Hh, cap, D] contiguous layer-stacked cache
+    v_all: jnp.ndarray,
+    layer,  # scalar i32 layer index
+    seq_lens: jnp.ndarray,  # [B] i32 (valid keys, including the new token)
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode attention straight from the contiguous stacked cache.
+
+    The XLA decode path slices cache[li] out of the carry and writes the
+    whole layer back every step — two ~42 MB copies per layer at b=32
+    (measured ~870 us/layer of pure copy in the b=32 profile). Here the
+    layer index rides scalar prefetch and each grid step processes ALL
+    heads of one sequence over a capacity chunk (streaming softmax), so
+    the cache is read exactly once per layer and never copied. Returns
+    [B, Hh, D] f32.
+    """
+    b, hh, d = q.shape
+    cap = k_all.shape[3]
+    chunk = min(cap, 512)
+    assert cap % chunk == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, cap // chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh, d),
+                lambda bi, ci, ly, sl: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hh, chunk, d),
+                lambda bi, ci, ly, sl: (ly[0], bi, 0, ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hh, chunk, d),
+                lambda bi, ci, ly, sl: (ly[0], bi, 0, ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hh, d), lambda bi, ci, ly, sl: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.VMEM((hh, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_stacked_kernel, scale=scale, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, d), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        seq_lens.astype(jnp.int32),
+        q,
+        k_all,
+        v_all,
+    )
