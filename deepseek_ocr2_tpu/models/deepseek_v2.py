@@ -341,6 +341,47 @@ def _index_tree(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+# Prefill expert-lift escape hatch: training wraps its grad computation in
+# no_prefill_lift() so the backward never sees stacked experts (the stacked
+# cotangent is a zeros+scatter of the whole stack per layer).
+_PREFILL_LIFT = True
+
+
+def no_prefill_lift():
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _PREFILL_LIFT
+        prev = _PREFILL_LIFT
+        _PREFILL_LIFT = False
+        try:
+            yield
+        finally:
+            _PREFILL_LIFT = prev
+
+    return _cm()
+
+
+def _lift_experts_for_prefill(layers_moe, n_rows: int, cfg: DeepseekV2Config):
+    """Prefill analogue of _lift_experts_for_decode: when the Pallas grouped
+    GEMM will run (rows > 512), lift the expert stack out of the scan xs so
+    each layer's call reads the stack directly instead of paying a ~440 MB
+    scan-slice copy per layer."""
+    from ..ops.flash_attention import pallas_enabled
+
+    import os
+
+    mode = os.environ.get("DEEPSEEK_MOE_PREFILL")
+    gmm = mode == "gmm" or (mode is None and n_rows > 512 and pallas_enabled())
+    if gmm and _PREFILL_LIFT:
+        return (
+            {k: v for k, v in layers_moe.items() if k != "experts"},
+            layers_moe["experts"],
+        )
+    return layers_moe, None
+
+
 def _lift_experts_for_decode(layers_moe, n_rows: int, cfg: DeepseekV2Config):
     """Decide whether batched decode should use the fused distinct-expert
     kernel, and if so lift the expert stack OUT of the scan xs: a scan-sliced
@@ -516,7 +557,13 @@ def lm_forward(
         x_flat = xn.reshape(b * s, h)
         weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
         if is_prefill:
-            routed = moe_ffn_prefill(x_flat, layer["experts"], weights, idx)
+            routed = moe_ffn_prefill(
+                x_flat,
+                experts_stack if experts_stack is not None else layer["experts"],
+                weights,
+                idx,
+                layer_idx=li - ld,
+            )
         elif experts_stack is not None:
             from ..ops.moe_decode import moe_ffn_decode_fused
 
@@ -537,7 +584,9 @@ def lm_forward(
             moe_layers, embeds.shape[0] * embeds.shape[1], cfg
         )
     else:
-        experts_stack = None
+        moe_layers, experts_stack = _lift_experts_for_prefill(
+            moe_layers, embeds.shape[0] * embeds.shape[1], cfg
+        )
     moe_xs = (moe_layers, jnp.arange(ld, cfg.num_hidden_layers))
     (x, k_all, v_all), _ = jax.lax.scan(moe_layer_body, (x, k_all, v_all), moe_xs)
 

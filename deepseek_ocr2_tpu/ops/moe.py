@@ -63,9 +63,11 @@ def _swiglu_ragged(
 
 def moe_ffn_prefill(
     x_flat: jnp.ndarray,  # [N, H]
-    experts: Dict[str, jnp.ndarray],  # gate/up: [E, H, I], down: [E, I, H]
+    experts: Dict[str, jnp.ndarray],  # gate/up: [(L,) E, H, I], down: [(L,) E, I, H]
     weights: jnp.ndarray,  # [N, k] f32
     idx: jnp.ndarray,  # [N, k] i32
+    *,
+    layer_idx=0,  # traced i32 when experts are layer-stacked (gmm path only)
 ) -> jnp.ndarray:
     """Prefill MoE FFN. Returns [N, H] in x dtype.
 
@@ -87,7 +89,13 @@ def moe_ffn_prefill(
     if mode == "gmm" or (mode is None and big and pallas_enabled()):
         from .moe_gmm import moe_ffn_gmm
 
-        return moe_ffn_gmm(x_flat, experts, weights, idx)
+        return moe_ffn_gmm(x_flat, experts, weights, idx, layer_idx=layer_idx)
+    if experts["gate"].ndim == 4:  # XLA fallbacks take one layer's experts
+        li = jnp.asarray(layer_idx, jnp.int32).reshape(())
+        experts = {
+            k: jax.lax.dynamic_index_in_dim(v, li, 0, keepdims=False)
+            for k, v in experts.items()
+        }
     if mode == "ragged" or (mode is None and big):
         return moe_ffn_ragged(x_flat, experts, weights, idx)
     return moe_ffn_dense(x_flat, experts, weights, idx)

@@ -109,7 +109,8 @@ def _dot(a, b):
     )
 
 
-def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, x_ref, g_ref, u_ref, o_ref, *, bm):
+def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, li_ref, x_ref, g_ref, u_ref, o_ref, *, bm):
+    del li_ref  # consumed by the index_map only (layer-stacked weights)
     v = pl.program_id(0)
     row0 = vt_ref[v] * bm
     ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
@@ -117,20 +118,33 @@ def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, x_ref, g_ref, u_ref, o_re
     x = x_ref[:]
     # Round each GEMM to the compute dtype exactly like the XLA grouped path
     # (ragged_dot/einsum emit bf16) so greedy parity is bit-identical.
-    gate = _dot(x, g_ref[0]).astype(x.dtype)
-    up = _dot(x, u_ref[0]).astype(x.dtype)
+    gate = _dot(x, g_ref[0, 0]).astype(x.dtype)
+    up = _dot(x, u_ref[0, 0]).astype(x.dtype)
     act = (jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up)
     o_ref[:] = jnp.where(in_rows, act, o_ref[:])
 
 
-def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, a_ref, d_ref, o_ref, *, bm):
+def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, li_ref, a_ref, d_ref, o_ref, *, bm):
+    del li_ref
     v = pl.program_id(0)
     row0 = vt_ref[v] * bm
     ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
     in_rows = (ga >= lo_ref[v]) & (ga < hi_ref[v])
     a = a_ref[:]
-    y = _dot(a, d_ref[0]).astype(a.dtype)
+    y = _dot(a, d_ref[0, 0]).astype(a.dtype)
     o_ref[:] = jnp.where(in_rows, y, o_ref[:])
+
+
+def _as_stacked(w, layer_idx):
+    """Normalize expert weights to the layer-stacked 4D form + [1] i32 index.
+
+    A lax.scan-sliced stacked operand feeding an opaque Pallas call
+    materializes a full copy of the layer's experts (~440 MB) every call;
+    passing the whole [L, E, ...] stack with the layer index in scalar
+    prefetch lets the kernel DMA straight from the stack instead."""
+    if w.ndim == 3:
+        return w[None], jnp.zeros((1,), jnp.int32)
+    return w, jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
 
 def _gmm_dx_kernel(vt_ref, ve_ref, lo_ref, hi_ref, a_ref, w_ref, o_ref, *, bm):
@@ -276,29 +290,30 @@ def _gmm_dw_call(schedule, x, dy, e, *, bm, interpret=False):
     return out[:e]
 
 
-def _gmm_call(kernel, schedule, x, w, out_dim, *, bm, interpret=False):
+def _gmm_call(kernel, schedule, x, w, out_dim, *, bm, layer_idx=0, interpret=False):
     vt, ve, lo, hi = schedule
     m_pad, _ = x.shape
     v_total = vt.shape[0]
-    e, in_dim = w.shape[0], w.shape[1]
+    w, li = _as_stacked(w, layer_idx)
+    in_dim = w.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(v_total,),
         in_specs=[
             pl.BlockSpec(
                 (bm, in_dim),
-                lambda v, vt, ve, lo, hi: (vt[v], 0),
+                lambda v, vt, ve, lo, hi, li: (vt[v], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, in_dim, out_dim),
-                lambda v, vt, ve, lo, hi: (ve[v], 0, 0),
+                (1, 1, in_dim, out_dim),
+                lambda v, vt, ve, lo, hi, li: (li[0], ve[v], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (bm, out_dim),
-            lambda v, vt, ve, lo, hi: (vt[v], 0),
+            lambda v, vt, ve, lo, hi, li: (vt[v], 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -307,37 +322,39 @@ def _gmm_call(kernel, schedule, x, w, out_dim, *, bm, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, out_dim), x.dtype),
         interpret=interpret,
-    )(vt, ve, lo, hi, x, w)
+    )(vt, ve, lo, hi, li, x, w)
 
 
-def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, bm, interpret=False):
+def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, bm, layer_idx=0, interpret=False):
     vt, ve, lo, hi = schedule
     m_pad, in_dim = x.shape
     v_total = vt.shape[0]
-    i = w_gate.shape[2]
+    w_gate, li = _as_stacked(w_gate, layer_idx)
+    w_up, _ = _as_stacked(w_up, layer_idx)
+    i = w_gate.shape[3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(v_total,),
         in_specs=[
             pl.BlockSpec(
                 (bm, in_dim),
-                lambda v, vt, ve, lo, hi: (vt[v], 0),
+                lambda v, vt, ve, lo, hi, li: (vt[v], 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, in_dim, i),
-                lambda v, vt, ve, lo, hi: (ve[v], 0, 0),
+                (1, 1, in_dim, i),
+                lambda v, vt, ve, lo, hi, li: (li[0], ve[v], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, in_dim, i),
-                lambda v, vt, ve, lo, hi: (ve[v], 0, 0),
+                (1, 1, in_dim, i),
+                lambda v, vt, ve, lo, hi, li: (li[0], ve[v], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (bm, i),
-            lambda v, vt, ve, lo, hi: (vt[v], 0),
+            lambda v, vt, ve, lo, hi, li: (vt[v], 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -346,17 +363,21 @@ def _gmm_swiglu_call(schedule, x, w_gate, w_up, *, bm, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, i), x.dtype),
         interpret=interpret,
-    )(vt, ve, lo, hi, x, w_gate, w_up)
+    )(vt, ve, lo, hi, li, x, w_gate, w_up)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _moe_ffn_gmm_diff(interpret, x_flat, experts, weights, idx):
-    return _moe_ffn_gmm_impl(x_flat, experts, weights, idx, interpret=interpret)
+def _moe_ffn_gmm_diff(interpret, x_flat, experts, weights, idx, layer_idx):
+    return _moe_ffn_gmm_impl(
+        x_flat, experts, weights, idx, layer_idx, interpret=interpret
+    )
 
 
-def _moe_ffn_gmm_fwd(interpret, x_flat, experts, weights, idx):
-    out = _moe_ffn_gmm_impl(x_flat, experts, weights, idx, interpret=interpret)
-    return out, (x_flat, experts, weights, idx)
+def _moe_ffn_gmm_fwd(interpret, x_flat, experts, weights, idx, layer_idx):
+    out = _moe_ffn_gmm_impl(
+        x_flat, experts, weights, idx, layer_idx, interpret=interpret
+    )
+    return out, (x_flat, experts, weights, idx, layer_idx)
 
 
 def _moe_ffn_gmm_bwd(interpret, res, g):
@@ -373,7 +394,19 @@ def _moe_ffn_gmm_bwd(interpret, res, g):
     """
     import numpy as np
 
-    x_flat, experts, weights, idx = res
+    x_flat, experts_in, weights, idx, layer_idx = res
+    stacked = experts_in["gate"].ndim == 4
+    if stacked:
+        # Training should run with UNSTACKED experts (scan xs; see
+        # models.deepseek_v2.no_prefill_lift) — this slice path keeps the
+        # stacked form correct, at the cost of materializing the layer.
+        li_s = jnp.asarray(layer_idx, jnp.int32).reshape(())
+        experts = {
+            k2: jax.lax.dynamic_index_in_dim(v2, li_s, 0, keepdims=False)
+            for k2, v2 in experts_in.items()
+        }
+    else:
+        experts = experts_in
     n, h = x_flat.shape
     k = idx.shape[1]
     e, _, i = experts["gate"].shape
@@ -441,8 +474,14 @@ def _moe_ffn_gmm_bwd(interpret, res, g):
             experts["down"].dtype
         ),
     }
+    if stacked:
+        d_experts = {
+            k2: jnp.zeros_like(experts_in[k2]).at[li_s].set(v2.astype(experts_in[k2].dtype))
+            for k2, v2 in d_experts.items()
+        }
     d_idx = np.zeros(idx.shape, jax.dtypes.float0)  # integer arg: no gradient
-    return dx, d_experts, d_weights, d_idx
+    d_li = np.zeros(np.shape(layer_idx), jax.dtypes.float0)
+    return dx, d_experts, d_weights, d_idx, d_li
 
 
 _moe_ffn_gmm_diff.defvjp(_moe_ffn_gmm_fwd, _moe_ffn_gmm_bwd)
@@ -450,17 +489,22 @@ _moe_ffn_gmm_diff.defvjp(_moe_ffn_gmm_fwd, _moe_ffn_gmm_bwd)
 
 def moe_ffn_gmm(
     x_flat: jnp.ndarray,  # [N, H]
-    experts: Dict[str, jnp.ndarray],  # gate/up: [E, H, I], down: [E, I, H]
+    experts: Dict[str, jnp.ndarray],  # gate/up: [(L,) E, H, I], down: [(L,) E, I, H]
     weights: jnp.ndarray,  # [N, k] f32
     idx: jnp.ndarray,  # [N, k] i32
     *,
+    layer_idx=0,  # traced i32 when experts are layer-stacked (4D)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact grouped-GEMM MoE FFN (prefill scale). Returns [N, H] in x dtype.
 
     Differentiable: forward AND backward run the visit-scheduled Pallas
-    kernels (backward as transposed-contraction + per-expert dW calls)."""
-    return _moe_ffn_gmm_diff(interpret, x_flat, experts, weights, idx)
+    kernels (backward as transposed-contraction + per-expert dW calls).
+    Layer-stacked form: pass the whole [L, E, ...] stack + layer_idx so a
+    scan over layers never slice-copies the stack into the kernel call."""
+    return _moe_ffn_gmm_diff(
+        interpret, x_flat, experts, weights, idx, jnp.asarray(layer_idx, jnp.int32)
+    )
 
 
 def _moe_ffn_gmm_impl(
@@ -468,12 +512,13 @@ def _moe_ffn_gmm_impl(
     experts: Dict[str, jnp.ndarray],
     weights: jnp.ndarray,
     idx: jnp.ndarray,
+    layer_idx=0,
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
     n, h = x_flat.shape
     k = idx.shape[1]
-    e = experts["gate"].shape[0]
+    e = experts["gate"].shape[-3]
     m = n * k
     bm = _pick_bm(m)
     m_pad = -(-m // bm) * bm
@@ -488,10 +533,12 @@ def _moe_ffn_gmm_impl(
 
     schedule = _visit_schedule(group_sizes, m_pad, bm)
     act = _gmm_swiglu_call(
-        schedule, x_sorted, experts["gate"], experts["up"], bm=bm, interpret=interpret
+        schedule, x_sorted, experts["gate"], experts["up"],
+        bm=bm, layer_idx=layer_idx, interpret=interpret,
     )  # [M_pad, I]
     y_sorted = _gmm_call(
-        _gmm_down_kernel, schedule, act, experts["down"], h, bm=bm, interpret=interpret
+        _gmm_down_kernel, schedule, act, experts["down"], h,
+        bm=bm, layer_idx=layer_idx, interpret=interpret,
     )[:m]  # [M, H]
 
     inv = jnp.argsort(order, stable=True)

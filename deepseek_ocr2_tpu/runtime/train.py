@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from ..configs import DeepseekV2Config
-from ..models.deepseek_v2 import lm_forward, logits_all
+from ..models.deepseek_v2 import lm_forward, logits_all, no_prefill_lift
 from .kv_cache import make_kv_cache
 
 
@@ -46,7 +46,8 @@ def sgd_train_step(
     params, cfg: DeepseekV2Config, ids: jnp.ndarray, lr: float = 1e-4
 ) -> Tuple[dict, jnp.ndarray]:
     """One SGD step; returns (new_params, loss)."""
-    loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
+    with no_prefill_lift():  # backward must see unstacked experts (scan xs)
+        loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
     new_params = jax.tree_util.tree_map(
         lambda p, g: (p.astype(jnp.float32) - lr * g.astype(jnp.float32)).astype(p.dtype),
         params,
@@ -86,7 +87,8 @@ def adamw_train_step(
     (ops/moe_gmm._moe_ffn_gmm_bwd); params and optimizer moments are
     donated so the update is in-place at XLA level.
     """
-    loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
+    with no_prefill_lift():  # backward must see unstacked experts (scan xs)
+        loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
