@@ -341,6 +341,24 @@ def _index_tree(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
+def _use_stacked_attn() -> bool:
+    """Opt-in gate for the in-place stacked-cache decode attention.
+
+    Measured on the v5e (2026-08-17): the stacked path (one-timestep scatter
+    into the [L,...] pool + layer-indexed kernel read) is a 3-5x decode
+    REGRESSION vs the per-layer slice/update carry it replaced (b=32:
+    100.4 ms/step vs 17.3; b=8: 30.9 vs 9.5), so it is off unless
+    DEEPSEEK_STACKED_ATTN=1 asks for the ablation.
+    """
+    import os
+
+    if not os.environ.get("DEEPSEEK_STACKED_ATTN"):
+        return False
+    from ..ops.flash_attention import pallas_enabled
+
+    return pallas_enabled()
+
+
 # Prefill expert-lift escape hatch: training wraps its grad computation in
 # no_prefill_lift() so the backward never sees stacked experts (the stacked
 # cotangent is a zeros+scatter of the whole stack per layer).
@@ -508,7 +526,7 @@ def lm_forward(
     # Decode with Pallas available: operate on the stacked cache in place
     # (one-timestep scatter + layer-indexed kernel read); the XLA fallback
     # slices/updates the layer's whole K/V through the carry.
-    stacked_attn = (not is_prefill) and pallas_enabled()
+    stacked_attn = (not is_prefill) and _use_stacked_attn()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
@@ -722,7 +740,7 @@ def lm_decode_step_ragged(
 
     # In-place stacked-cache carry (see lm_forward); with Pallas, the
     # stacked kernel avoids the per-layer slice/update copies entirely.
-    stacked_attn = pallas_enabled()
+    stacked_attn = _use_stacked_attn()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
@@ -876,7 +894,7 @@ def _lm_forward_q8(
 
     # In-place stacked-cache updates (see lm_forward) — the unrolled loop
     # previously re-stacked all L per-layer caches every step.
-    stacked_attn = (not is_prefill) and pallas_enabled()
+    stacked_attn = (not is_prefill) and _use_stacked_attn()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
@@ -941,7 +959,7 @@ def _lm_decode_step_ragged_q8(
     b, s, h = x.shape
 
     k_all, v_all = cache["k"], cache["v"]
-    stacked_attn = pallas_enabled()
+    stacked_attn = _use_stacked_attn()
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x

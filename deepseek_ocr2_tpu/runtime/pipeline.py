@@ -165,9 +165,10 @@ class OCR2Pipeline:
             self.tokenizer, prompt, cfg, crop_ratio
         )
 
-        embeds = jax.block_until_ready(
-            self.build_ocr_embeds(ids, image_base, patches, image_start)
-        )
+        embeds = self.build_ocr_embeds(ids, image_base, patches, image_start)
+        # Timing barrier: block_until_ready does not sync on the tunneled
+        # platform; a tiny host transfer is the only reliable phase boundary.
+        np.asarray(embeds[0, 0, :1])
         if enabled("DEEPSEEK_DEBUG_OCR"):
             self._debug_embeds_fingerprints(embeds)
         vision_seconds = time.perf_counter() - t0
@@ -356,7 +357,8 @@ class OCR2Pipeline:
             return self._generate_debug_topk(embeds, ids, max_new_tokens, ngram_size, eos)
 
         t0 = time.perf_counter()
-        embeds = jax.block_until_ready(embeds)
+        # Host-transfer barrier (block_until_ready does not sync here).
+        np.asarray(embeds[0, 0, :1])
         t1 = time.perf_counter()
         tokens, n_gen = greedy_generate(
             self.params["lm"],
@@ -370,11 +372,13 @@ class OCR2Pipeline:
             kv_dtype=self.kv_dtype,
             **(sampling or {}),
         )
-        tokens = jax.block_until_ready(tokens)
+        # Full host transfer doubles as the decode barrier.
+        tokens = np.asarray(tokens)
+        n_gen = np.asarray(n_gen)
         t2 = time.perf_counter()
 
         total = prompt_len + int(n_gen[0])
-        all_ids = np.asarray(tokens[0, :total]).tolist()
+        all_ids = tokens[0, :total].tolist()
         gen_ids = all_ids[prompt_len:]
         if enabled("DEEPSEEK_DEBUG_TOKENS"):
             for step, tid in enumerate(gen_ids):
