@@ -8,6 +8,7 @@ buffer, so the decode loop never ships logits to the host.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -39,10 +40,14 @@ def ngram_ban_mask(
     )  # [prefix_len]
 
     # All windows tokens[i : i + prefix_len] for i in [0, T - prefix_len].
+    # Shifted-compare form: window j-th elements are the contiguous slice
+    # tokens[j : j + n_win], so the match reduction is prefix_len vector
+    # compares over slices instead of an [n_win, prefix_len] gather (the
+    # gather was ~2x the cost of this whole op at T=2048, n=20).
     n_win = t - prefix_len  # windows whose continuation index i+prefix_len < T
-    win_idx = jnp.arange(n_win)[:, None] + jnp.arange(prefix_len)[None, :]
-    windows = tokens[win_idx]  # [n_win, prefix_len]
-    matches = jnp.all(windows == prefix[None, :], axis=1)  # [n_win]
+    matches = jnp.ones((n_win,), dtype=bool)
+    for j in range(prefix_len):
+        matches &= jax.lax.slice_in_dim(tokens, j, j + n_win) == prefix[j]
 
     # Window must lie fully within the valid ids: i + ngram <= cur_len
     # (reference iterates i in 0..=len-n over the realized id list).
