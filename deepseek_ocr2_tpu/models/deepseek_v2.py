@@ -341,22 +341,28 @@ def _index_tree(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
-def _use_stacked_attn() -> bool:
-    """Opt-in gate for the in-place stacked-cache decode attention.
+def _decode_attn_mode() -> str:
+    """Cache-update strategy for decode attention on the stacked [L,...] cache.
 
-    Measured on the v5e (2026-08-17): the stacked path (one-timestep scatter
-    into the [L,...] pool + layer-indexed kernel read) is a 3-5x decode
-    REGRESSION vs the per-layer slice/update carry it replaced (b=32:
-    100.4 ms/step vs 17.3; b=8: 30.9 vs 9.5), so it is off unless
-    DEEPSEEK_STACKED_ATTN=1 asks for the ablation.
+    - "pool" (default): one-timestep write straight into the pool + an XLA
+      dynamic layer slice feeding sdpa — no per-layer copy.
+    - "slice": materialize cache[li], update the timestep, write the whole
+      layer back (two ~42 MB copies per layer at b=32, cap=512; the r2
+      behavior, kept for ablation via DEEPSEEK_DECODE_ATTN=slice).
+    - "stacked": the Pallas layer-indexed pool kernel. Measured on the v5e
+      (2026-08-17) as a 3-5x decode REGRESSION (b=32: 100.4 ms/step vs 17.3
+      slice; b=8: 30.9 vs 9.5), so it is ablation-only
+      (DEEPSEEK_DECODE_ATTN=stacked) and needs Pallas.
     """
     import os
 
-    if not os.environ.get("DEEPSEEK_STACKED_ATTN"):
-        return False
-    from ..ops.flash_attention import pallas_enabled
+    mode = os.environ.get("DEEPSEEK_DECODE_ATTN", "pool")
+    if mode == "stacked":
+        from ..ops.flash_attention import pallas_enabled
 
-    return pallas_enabled()
+        if not pallas_enabled():
+            return "pool"
+    return mode
 
 
 # Prefill expert-lift escape hatch: training wraps its grad computation in
@@ -479,6 +485,33 @@ def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
         }
         for j in range(n_moe)
     ]
+    # Shared-expert pseudo-experts for the decode kernels: the shared MLP
+    # (intermediate n_shared*I) splits along its intermediate dim into
+    # n_shared expert-shaped [H, I] SwiGLUs whose down-projections sum —
+    # exactly the accumulation the distinct-expert visit kernels already do.
+    # Folding them in as always-selected visits removes the separate shared
+    # swiglu_q8 launch per layer and lets the shared bytes ride the same
+    # double-buffered weight stream. Per-column scales over the halves are
+    # at least as tight as over the fused stream.
+    i_e = new["moe_q8"][0]["gu_q8"].shape[-1] // 2
+    i_tot = shared["gate"].shape[-1]
+    if i_tot % i_e == 0:
+        n_sh = i_tot // i_e
+        for j in range(n_moe):
+            pe = quantize_experts(
+                {
+                    "gate": jnp.stack(
+                        [shared["gate"][j][:, t * i_e : (t + 1) * i_e] for t in range(n_sh)]
+                    ),
+                    "up": jnp.stack(
+                        [shared["up"][j][:, t * i_e : (t + 1) * i_e] for t in range(n_sh)]
+                    ),
+                    "down": jnp.stack(
+                        [shared["down"][j][t * i_e : (t + 1) * i_e, :] for t in range(n_sh)]
+                    ),
+                }
+            )
+            new["moe_q8"][j].update({f"pe_{k}": v for k, v in pe.items()})
     new["q8_layers"] = {"dense": q8_dense, "moe": q8_moe}
     new["q8_lm_head"] = quantize_linear(new.pop("lm_head"))
     return new
@@ -523,25 +556,25 @@ def lm_forward(
     # design (scan over cache xs/ys + dense/moe concat) re-materialized the
     # whole pool every decode step; in-place carry updates let XLA alias the
     # loop buffers (VERDICT r1 #10).
-    # Decode with Pallas available: operate on the stacked cache in place
-    # (one-timestep scatter + layer-indexed kernel read); the XLA fallback
-    # slices/updates the layer's whole K/V through the carry.
-    stacked_attn = (not is_prefill) and _use_stacked_attn()
+    # Decode: one-timestep pool write + fused layer-slice read by default
+    # (see _decode_attn_mode); prefill slices/updates the layer's whole K/V
+    # through the carry (it writes S timesteps at once).
+    attn_mode = None if is_prefill else _decode_attn_mode()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
-            )
-        else:
+        if is_prefill:
             attn_out, ck, cv = _attention(
                 xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
             )
             k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
             v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        else:
+            attn_out, k_all, v_all = _decode_attention(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos, attn_mode
+            )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -556,11 +589,7 @@ def lm_forward(
         layer, li = xs
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
-            )
-        else:
+        if is_prefill:
             ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
             attn_out, ck, cv = _attention(
@@ -568,6 +597,10 @@ def lm_forward(
             )
             k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
             v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        else:
+            attn_out, k_all, v_all = _decode_attention(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos, attn_mode
+            )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -724,6 +757,104 @@ def _attention_decode_ragged(
     return _o_proj(ctx, attn, decode=True), cache_k, cache_v
 
 
+def _attention_decode_pool(
+    x: jnp.ndarray,  # [B, 1, H]
+    attn: Dict[str, jnp.ndarray],
+    cfg: DeepseekV2Config,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, B, Hh, cap, D] full stacked cache
+    v_all: jnp.ndarray,
+    li,  # scalar layer index (python int or traced)
+    pos,  # scalar i32 shared position OR [B] per-slot positions
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode attention on the layer-stacked cache with no per-layer copy.
+
+    The "slice" strategy materializes cache[li] out of the carry and writes
+    the whole layer back every step — two ~42 MB copies per layer at b=32,
+    cap=512. Here the new token's K/V goes straight into the pool (a
+    one-timestep dynamic_update_slice, or a per-row scatter when positions
+    are ragged) and the attention dot reads the pool through a dynamic layer
+    slice that XLA fuses into the score/context GEMMs, so the layer's cache
+    is streamed once per step and never duplicated. Same math as the slice
+    strategy (f32 RoPE/softmax per reference deepseek_v2.rs:319-324).
+    """
+    b, s, h = x.shape
+    assert s == 1
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    kv_dtype = k_all.dtype
+
+    q, k, v = _qkv_proj(x, attn, b, 1, nh, d, decode=True)
+    li = jnp.asarray(li, jnp.int32)
+    pos_arr = jnp.asarray(pos, jnp.int32)
+
+    if pos_arr.ndim == 0:
+        q32, k32 = apply_rope(q, k, cos, sin, start=pos_arr)
+        v32 = v.astype(jnp.float32)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k32.astype(kv_dtype)[None], (li, 0, 0, pos_arr, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v32.astype(kv_dtype)[None], (li, 0, 0, pos_arr, 0)
+        )
+        pos_b = jnp.broadcast_to(pos_arr.reshape(1), (b,))
+    else:
+        # Per-slot RoPE + scatter (continuous batching).
+        cos_b = jnp.take(cos, pos_arr, axis=0)[:, None, None, :]  # [B,1,1,D]
+        sin_b = jnp.take(sin, pos_arr, axis=0)[:, None, None, :]
+        q32 = q.astype(jnp.float32)
+        k32 = k.astype(jnp.float32)
+
+        def rot(t):
+            half = t.shape[-1] // 2
+            return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
+
+        q32 = q32 * cos_b + rot(q32) * sin_b
+        k32 = k32 * cos_b + rot(k32) * sin_b
+        v32 = v.astype(jnp.float32)
+        rows = jnp.arange(b)
+        k_all = k_all.at[li, rows, :, pos_arr, :].set(k32[:, :, 0, :].astype(kv_dtype))
+        v_all = v_all.at[li, rows, :, pos_arr, :].set(v32[:, :, 0, :].astype(kv_dtype))
+        pos_b = pos_arr
+
+    ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+    cap = ck.shape[2]
+    mask = (jnp.arange(cap)[None, :] > pos_b[:, None])[:, None, None, :]  # [B,1,1,cap]
+    ctx = sdpa(
+        q32, ck, cv, scale=1.0 / math.sqrt(d), mask=mask, out_dtype=jnp.float32
+    )
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, h).astype(x.dtype)
+    return _o_proj(ctx, attn, decode=True), k_all, v_all
+
+
+def _decode_attention(
+    xn, attn, cfg, cos, sin, k_all, v_all, li, pos, mode
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode-attention step against the stacked cache.
+
+    `mode` selects the cache-update strategy (see _decode_attn_mode);
+    returns (attn_out, k_all, v_all) with the pool updated in place.
+    """
+    if mode == "stacked":
+        return _attention_decode_stacked(xn, attn, cfg, cos, sin, k_all, v_all, li, pos)
+    if mode == "pool":
+        return _attention_decode_pool(xn, attn, cfg, cos, sin, k_all, v_all, li, pos)
+    # "slice": the r2 layer slice / write-back strategy.
+    if isinstance(li, int):
+        ck, cv = k_all[li], v_all[li]
+    else:
+        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
+    if jnp.asarray(pos).ndim == 0:
+        out, ck, cv = _attention(xn, attn, cfg, cos, sin, ck, cv, pos, is_prefill=False)
+    else:
+        out, ck, cv = _attention_decode_ragged(xn, attn, cfg, cos, sin, ck, cv, pos)
+    k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
+    v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+    return out, k_all, v_all
+
+
 def lm_decode_step_ragged(
     params: Params,
     cfg: DeepseekV2Config,
@@ -738,24 +869,16 @@ def lm_decode_step_ragged(
     x = embeds
     ld = cfg.first_k_dense_replace
 
-    # In-place stacked-cache carry (see lm_forward); with Pallas, the
-    # stacked kernel avoids the per-layer slice/update copies entirely.
-    stacked_attn = _use_stacked_attn()
+    # In-place pool carry (see lm_forward / _decode_attn_mode).
+    attn_mode = _decode_attn_mode()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
-            )
-        else:
-            attn_out, ck, cv = _attention_decode_ragged(
-                xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
-            )
-            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
-            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        attn_out, k_all, v_all = _decode_attention(
+            xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos, attn_mode
+        )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -770,18 +893,9 @@ def lm_decode_step_ragged(
         layer, li = xs
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
-            )
-        else:
-            ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
-            attn_out, ck, cv = _attention_decode_ragged(
-                xn, layer["attn"], cfg, cos, sin, ck, cv, pos
-            )
-            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
-            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        attn_out, k_all, v_all = _decode_attention(
+            xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos, attn_mode
+        )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -851,21 +965,32 @@ def _q8_ffn(
         return swiglu(x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"])
 
     weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+    # When pe_* streams exist (full-scope quantization), the decode kernels
+    # fold the shared MLP in as always-on pseudo-expert visits — no separate
+    # shared launch. The per-selection kernel only merges at b=1 (larger b
+    # would re-read the pe streams once per row).
+    shared_merged = False
     if decode and pallas_enabled():
         if x_flat.shape[0] * cfg.num_experts_per_tok > cfg.n_routed_experts:
             # Serving batches: one visit per distinct expert (the per-
             # selection kernel re-reads shared experts ~3x at b=32).
             from ..ops.moe_decode import moe_ffn_decode_q8_fused
 
+            shared_merged = "pe_gu_q8" in q8_experts
             routed = moe_ffn_decode_q8_fused(x_flat, q8_experts, weights, idx)
         else:
-            routed = moe_ffn_decode_q8(x_flat, q8_experts, weights, idx)
+            shared_merged = "pe_gu_q8" in q8_experts and x_flat.shape[0] == 1
+            routed = moe_ffn_decode_q8(
+                x_flat, q8_experts, weights, idx, with_shared=shared_merged
+            )
     else:
         deq = _dequantize_experts(q8_experts, x_flat.dtype)
         if is_prefill:
             routed = moe_ffn_prefill(x_flat, deq, weights, idx)
         else:
             routed = moe_ffn_decode(x_flat, deq, weights, idx)
+    if shared_merged:
+        return routed
     if "shared_q8" in layer:
         shared = swiglu_q8(
             x_flat, layer["shared_q8"]["gu"], layer["shared_q8"]["down"], decode=decode
@@ -892,24 +1017,24 @@ def _lm_forward_q8(
     b, s, h = x.shape
     decode = not is_prefill
 
-    # In-place stacked-cache updates (see lm_forward) — the unrolled loop
-    # previously re-stacked all L per-layer caches every step.
-    stacked_attn = (not is_prefill) and _use_stacked_attn()
+    # In-place pool carry (see lm_forward / _decode_attn_mode) — the unrolled
+    # loop previously re-stacked all L per-layer caches every step.
+    attn_mode = None if is_prefill else _decode_attn_mode()
     k_all, v_all = cache["k"], cache["v"]
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
-            )
-        else:
+        if is_prefill:
             attn_out, ck, cv = _attention(
                 xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos, is_prefill
             )
             k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
             v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        else:
+            attn_out, k_all, v_all = _decode_attention(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos, attn_mode
+            )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -923,16 +1048,16 @@ def _lm_forward_q8(
         layer = _q8_layer_weights(params, "moe", j)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
-            )
-        else:
+        if is_prefill:
             attn_out, ck, cv = _attention(
                 xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos, is_prefill
             )
             k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
             v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        else:
+            attn_out, k_all, v_all = _decode_attention(
+                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos, attn_mode
+            )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -959,21 +1084,14 @@ def _lm_decode_step_ragged_q8(
     b, s, h = x.shape
 
     k_all, v_all = cache["k"], cache["v"]
-    stacked_attn = _use_stacked_attn()
+    attn_mode = _decode_attn_mode()
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos
-            )
-        else:
-            attn_out, ck, cv = _attention_decode_ragged(
-                xn, layer["attn"], cfg, cos, sin, k_all[i], v_all[i], pos
-            )
-            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, i, 0)
-            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, i, 0)
+        attn_out, k_all, v_all = _decode_attention(
+            xn, layer["attn"], cfg, cos, sin, k_all, v_all, i, pos, attn_mode
+        )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
@@ -987,16 +1105,9 @@ def _lm_decode_step_ragged_q8(
         layer = _q8_layer_weights(params, "moe", j)
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        if stacked_attn:
-            attn_out, k_all, v_all = _attention_decode_stacked(
-                xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos
-            )
-        else:
-            attn_out, ck, cv = _attention_decode_ragged(
-                xn, layer["attn"], cfg, cos, sin, k_all[li], v_all[li], pos
-            )
-            k_all = jax.lax.dynamic_update_index_in_dim(k_all, ck, li, 0)
-            v_all = jax.lax.dynamic_update_index_in_dim(v_all, cv, li, 0)
+        attn_out, k_all, v_all = _decode_attention(
+            xn, layer["attn"], cfg, cos, sin, k_all, v_all, li, pos, attn_mode
+        )
         x = res + attn_out
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)

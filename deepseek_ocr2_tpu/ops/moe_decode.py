@@ -206,6 +206,17 @@ def moe_ffn_decode_fused(
     return out[:b].astype(x_flat.dtype)
 
 
+def _q8_swiglu_accum(x_ref, gu_ref, gus_ref, d_ref, ds_ref, w_ref, o_ref):
+    x = x_ref[:]
+    gu = gu_ref[0].astype(x.dtype)  # dequant-to-compute dtype in VMEM
+    i = gu.shape[-1] // 2
+    h2 = _dot(x, gu) * gus_ref[0]  # f32 [B, 2I]
+    gate, up = h2[:, :i], h2[:, i:]
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    y = _dot(act, d_ref[0].astype(x.dtype)) * ds_ref[0]  # f32 [B, H]
+    o_ref[:] = o_ref[:] + y * w_ref[0]
+
+
 def _decode_q8_kernel(ve_ref, valid_ref, x_ref, gu_ref, gus_ref, d_ref, ds_ref, w_ref, o_ref):
     v = pl.program_id(0)
 
@@ -215,14 +226,41 @@ def _decode_q8_kernel(ve_ref, valid_ref, x_ref, gu_ref, gus_ref, d_ref, ds_ref, 
 
     @pl.when(valid_ref[v] == 1)
     def _():
-        x = x_ref[:]
-        gu = gu_ref[0].astype(x.dtype)  # dequant-to-compute dtype in VMEM
-        i = gu.shape[-1] // 2
-        h2 = _dot(x, gu) * gus_ref[0]  # f32 [B, 2I]
-        gate, up = h2[:, :i], h2[:, i:]
-        act = (jax.nn.silu(gate) * up).astype(x.dtype)
-        y = _dot(act, d_ref[0].astype(x.dtype)) * ds_ref[0]  # f32 [B, H]
-        o_ref[:] = o_ref[:] + y * w_ref[0]
+        _q8_swiglu_accum(x_ref, gu_ref, gus_ref, d_ref, ds_ref, w_ref, o_ref)
+
+
+def _decode_q8_pe_kernel(
+    e,  # static: number of real experts (visits >= e are shared pseudo-experts)
+    pev_ref,
+    ve_ref,
+    valid_ref,
+    x_ref,
+    gu_ref,
+    gus_ref,
+    d_ref,
+    ds_ref,
+    pgu_ref,
+    pgus_ref,
+    pd_ref,
+    pds_ref,
+    w_ref,
+    o_ref,
+):
+    """Distinct-expert visits plus trailing always-on shared pseudo-expert
+    visits; the shared stream rides the same double-buffered pipeline."""
+    v = pl.program_id(0)
+
+    @pl.when(v == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when((v < e) & (valid_ref[v] == 1))
+    def _():
+        _q8_swiglu_accum(x_ref, gu_ref, gus_ref, d_ref, ds_ref, w_ref, o_ref)
+
+    @pl.when(v >= e)
+    def _():
+        _q8_swiglu_accum(x_ref, pgu_ref, pgus_ref, pd_ref, pds_ref, w_ref, o_ref)
 
 
 def moe_ffn_decode_q8_fused(
@@ -235,15 +273,109 @@ def moe_ffn_decode_q8_fused(
 ) -> jnp.ndarray:
     """Int8 distinct-expert batched-decode MoE FFN (same math as
     moe_q8.moe_ffn_decode_q8, one visit per distinct expert instead of one
-    per (token, selection))."""
+    per (token, selection)).
+
+    When `experts_q8` carries shared pseudo-expert streams (pe_* keys from
+    quantize_lm_params), the shared MLP is folded in as n_sh trailing
+    always-on visits with combine weight 1 and the caller must NOT add a
+    separate shared term.
+    """
+    import functools
+
     b, h = x_flat.shape
     e, _, i2 = experts_q8["gu_q8"].shape
     i = i2 // 2
+    n_sh = experts_q8["pe_gu_q8"].shape[0] if "pe_gu_q8" in experts_q8 else 0
 
     b_pad = -(-b // 16) * 16
     x = x_flat if b_pad == b else jnp.pad(x_flat, ((0, b_pad - b), (0, 0)))
     ve, valid = _distinct_schedule(idx, e)
     w_visit = _combine_table(idx, weights, ve, valid, e, b_pad)
+
+    if n_sh:
+        # Trailing pe visits: repeat the last real visit's expert id so the
+        # (unused) expert-stream DMA is index-skipped; w rows are 1 for real
+        # batch rows, 0 for sublane padding.
+        ve = jnp.concatenate([ve, jnp.broadcast_to(ve[e - 1], (n_sh,))])
+        valid = jnp.concatenate([valid, jnp.zeros((n_sh,), jnp.int32)])
+        pe_w = (jnp.arange(b_pad) < b).astype(jnp.float32)[None, :, None]
+        w_visit = jnp.concatenate([w_visit, jnp.broadcast_to(pe_w, (n_sh, b_pad, 1))])
+        pev = jnp.concatenate(
+            [jnp.zeros((e,), jnp.int32), jnp.arange(n_sh, dtype=jnp.int32)]
+        )
+        pe_specs = [
+            pl.BlockSpec(
+                (1, h, i2), lambda v, pev, ve, valid: (pev[v], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, i2), lambda v, pev, ve, valid: (pev[v], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, i, h), lambda v, pev, ve, valid: (pev[v], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, h), lambda v, pev, ve, valid: (pev[v], 0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(e + n_sh,),
+            in_specs=[
+                pl.BlockSpec(
+                    (b_pad, h), lambda v, pev, ve, valid: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, h, i2),
+                    lambda v, pev, ve, valid: (ve[v], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, i2),
+                    lambda v, pev, ve, valid: (ve[v], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, i, h),
+                    lambda v, pev, ve, valid: (ve[v], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, h),
+                    lambda v, pev, ve, valid: (ve[v], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                *pe_specs,
+                pl.BlockSpec(
+                    (1, b_pad, 1),
+                    lambda v, pev, ve, valid: (v, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (b_pad, h), lambda v, pev, ve, valid: (0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_decode_q8_pe_kernel, e),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b_pad, h), jnp.float32),
+            interpret=interpret,
+        )(
+            pev,
+            ve,
+            valid,
+            x,
+            experts_q8["gu_q8"],
+            experts_q8["gu_scale"],
+            experts_q8["down_q8"],
+            experts_q8["down_scale"],
+            experts_q8["pe_gu_q8"],
+            experts_q8["pe_gu_scale"],
+            experts_q8["pe_down_q8"],
+            experts_q8["pe_down_scale"],
+            w_visit,
+        )
+        return out[:b].astype(x_flat.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -94,19 +94,166 @@ def _q8_kernel(
     o_ref[:] = o_ref[:] + jnp.where(row_mask, y * wts_ref[b, k], 0.0)
 
 
+def _q8_pe_kernel(
+    k,  # static: selections per row (grid steps >= k are shared pseudo-experts)
+    pev_ref,
+    idx_ref,
+    wts_ref,
+    x_ref,
+    gu_ref,
+    gus_ref,
+    d_ref,
+    ds_ref,
+    pgu_ref,
+    pgus_ref,
+    pd_ref,
+    pds_ref,
+    o_ref,
+):
+    """Per-selection visits plus trailing always-on shared pseudo-expert
+    visits per row (combine weight 1). Only dispatched at b=1: at larger b
+    the pe streams would be re-read once per row."""
+    b = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    @pl.when((ki == 0) & (b == 0))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    n_rows = x_ref.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+    row_mask = row_ids == b
+    x = jnp.sum(
+        jnp.where(row_mask, x_ref[:].astype(jnp.float32), 0.0), axis=0, keepdims=True
+    ).astype(x_ref.dtype)  # [1, H]
+
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    def swiglu(gu_r, gus_r, d_r, ds_r):
+        gu = gu_r[0].astype(x.dtype)
+        i = gu.shape[-1] // 2
+        h2 = dot(x, gu) * gus_r[0]
+        gate, up = h2[:, :i], h2[:, i:]
+        act = (jax.nn.silu(gate) * up).astype(x.dtype)
+        return dot(act, d_r[0].astype(x.dtype)) * ds_r[0]  # [1, H]
+
+    @pl.when(ki < k)
+    def _():
+        y = swiglu(gu_ref, gus_ref, d_ref, ds_ref)
+        o_ref[:] = o_ref[:] + jnp.where(row_mask, y * wts_ref[b, ki], 0.0)
+
+    @pl.when(ki >= k)
+    def _():
+        y = swiglu(pgu_ref, pgus_ref, pd_ref, pds_ref)
+        o_ref[:] = o_ref[:] + jnp.where(row_mask, y, 0.0)
+
+
 def moe_ffn_decode_q8(
     x_flat: jnp.ndarray,  # [B, H] (bf16)
     experts_q8: Dict[str, jnp.ndarray],  # gate_q8 [E,H,I] i8, gate_scale [E,1,I] f32, ...
     weights: jnp.ndarray,  # [B, K] f32
     idx: jnp.ndarray,  # [B, K] i32
     *,
+    with_shared: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused int8 MoE decode FFN. Returns [B, H] in x dtype."""
+    """Fused int8 MoE decode FFN. Returns [B, H] in x dtype.
+
+    with_shared=True folds the shared pseudo-expert streams (pe_* keys) in
+    as n_sh extra always-on visits per row; the caller must not add a
+    separate shared term. Latency-path only (see _q8_pe_kernel)."""
     b, h = x_flat.shape
     k = idx.shape[1]
     e, _, i2 = experts_q8["gu_q8"].shape
     i = i2 // 2
+
+    if with_shared:
+        n_sh = experts_q8["pe_gu_q8"].shape[0]
+        pev = jnp.concatenate(
+            [jnp.zeros((k,), jnp.int32), jnp.arange(n_sh, dtype=jnp.int32)]
+        )
+        km1 = k - 1
+
+        def eidx(bi, ki, pev, idx, wts):
+            return idx[bi, jnp.minimum(ki, km1)]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, k + n_sh),
+            in_specs=[
+                pl.BlockSpec(
+                    (b, h), lambda bi, ki, pev, idx, wts: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, h, i2),
+                    lambda bi, ki, pev, idx, wts: (eidx(bi, ki, pev, idx, wts), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, i2),
+                    lambda bi, ki, pev, idx, wts: (eidx(bi, ki, pev, idx, wts), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, i, h),
+                    lambda bi, ki, pev, idx, wts: (eidx(bi, ki, pev, idx, wts), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, h),
+                    lambda bi, ki, pev, idx, wts: (eidx(bi, ki, pev, idx, wts), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, h, i2),
+                    lambda bi, ki, pev, idx, wts: (pev[ki], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, i2),
+                    lambda bi, ki, pev, idx, wts: (pev[ki], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, i, h),
+                    lambda bi, ki, pev, idx, wts: (pev[ki], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, h),
+                    lambda bi, ki, pev, idx, wts: (pev[ki], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (b, h), lambda bi, ki, pev, idx, wts: (0, 0), memory_space=pltpu.VMEM
+            ),
+        )
+        out = pl.pallas_call(
+            functools.partial(_q8_pe_kernel, k),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h), jnp.float32),
+            interpret=interpret,
+        )(
+            pev,
+            idx.astype(jnp.int32),
+            weights.astype(jnp.float32),
+            x_flat,
+            experts_q8["gu_q8"],
+            experts_q8["gu_scale"],
+            experts_q8["down_q8"],
+            experts_q8["down_scale"],
+            experts_q8["pe_gu_q8"],
+            experts_q8["pe_gu_scale"],
+            experts_q8["pe_down_q8"],
+            experts_q8["pe_down_scale"],
+        )
+        return out.astype(x_flat.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

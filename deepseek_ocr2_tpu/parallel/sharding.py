@@ -92,18 +92,24 @@ def lm_param_specs_q8(cfg: DeepseekV2Config, params: Dict[str, Any]) -> Dict[str
     def qlin_col():  # output-axis sharded (scales follow the output axis)
         return {"q8": P(None, "mp"), "scale": P(None, "mp")}
 
-    def expert_q8_specs():
+    def expert_q8_specs(entry):
         # gu (gate||up fused): q8 [E, H, 2I], scale [E, 1, 2I]; down: [E, I, H].
-        return {
+        s = {
             f"{name}_{part}": P("mp", None, None)
             for name in ("gu", "down")
             for part in ("q8", "scale")
         }
+        # Shared pseudo-expert streams (full scope): [n_sh, ...] with n_sh
+        # tiny and always-on for every token — replicate.
+        for key in entry:
+            if key.startswith("pe_"):
+                s[key] = P(None, None, None)
+        return s
 
     specs: Dict[str, Any] = {
         "embed": P(None, None),
         "norm": P(None),
-        "moe_q8": [expert_q8_specs() for _ in params["moe_q8"]],
+        "moe_q8": [expert_q8_specs(e) for e in params["moe_q8"]],
     }
     full = "q8_layers" in params
 

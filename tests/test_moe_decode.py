@@ -95,6 +95,98 @@ def test_q8_fused_matches_q8_xla(b):
     np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
 
 
+def _pe_streams(h, i_e, n_sh, seed=7):
+    """Shared-MLP pseudo-expert streams, split as quantize_lm_params does."""
+    rng = np.random.default_rng(seed)
+    i_tot = n_sh * i_e
+    gate = jnp.asarray(rng.standard_normal((h, i_tot)).astype(np.float32) * 0.05)
+    up = jnp.asarray(rng.standard_normal((h, i_tot)).astype(np.float32) * 0.05)
+    down = jnp.asarray(rng.standard_normal((i_tot, h)).astype(np.float32) * 0.05)
+    pe = quantize_experts(
+        {
+            "gate": jnp.stack([gate[:, t * i_e : (t + 1) * i_e] for t in range(n_sh)]),
+            "up": jnp.stack([up[:, t * i_e : (t + 1) * i_e] for t in range(n_sh)]),
+            "down": jnp.stack([down[t * i_e : (t + 1) * i_e, :] for t in range(n_sh)]),
+        }
+    )
+    return {f"pe_{k}": v for k, v in pe.items()}
+
+
+def _pe_reference(x, pe, n_sh):
+    """Shared contribution via the per-selection XLA reference: every row
+    'selects' each pseudo-expert once with weight 1."""
+    b = x.shape[0]
+    as_experts = {k[len("pe_") :]: v for k, v in pe.items()}
+    ids = jnp.tile(jnp.arange(n_sh, dtype=jnp.int32)[None], (b, 1))
+    ones = jnp.ones((b, n_sh), jnp.float32)
+    return np.asarray(moe_ffn_decode_q8_xla(x, as_experts, ones, ids))
+
+
+@pytest.mark.parametrize("b", [8, 32])
+def test_q8_fused_with_shared_pe(b):
+    e, h, i, k, n_sh = 16, 64, 96, 4, 2
+    experts_q8 = quantize_experts(_experts(e, h, i))
+    pe = _pe_streams(h, i, n_sh)
+    x, w, idx = _routing(b, e, k, h)
+    ref = np.asarray(moe_ffn_decode_q8_xla(x, experts_q8, w, idx)) + _pe_reference(
+        x, pe, n_sh
+    )
+    got = np.asarray(
+        moe_ffn_decode_q8_fused(x, {**experts_q8, **pe}, w, idx, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
+
+
+def test_q8_per_selection_with_shared_pe():
+    from deepseek_ocr2_tpu.ops.moe_q8 import moe_ffn_decode_q8
+
+    e, h, i, k, n_sh, b = 16, 64, 96, 4, 2, 1
+    experts_q8 = quantize_experts(_experts(e, h, i))
+    pe = _pe_streams(h, i, n_sh)
+    x, w, idx = _routing(b, e, k, h)
+    ref = np.asarray(moe_ffn_decode_q8_xla(x, experts_q8, w, idx)) + _pe_reference(
+        x, pe, n_sh
+    )
+    got = np.asarray(
+        moe_ffn_decode_q8(
+            x, {**experts_q8, **pe}, w, idx, with_shared=True, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
+
+
+def test_quantize_lm_params_builds_pe_streams():
+    """Full-scope quantization splits the shared MLP into expert-shaped
+    pseudo-experts whose dequantized halves reassemble the shared weights."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_torch import random_lm_flat
+    from deepseek_ocr2_tpu.configs import tiny_lm_config
+    from deepseek_ocr2_tpu.io import DtypePolicy
+    from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+
+    cfg = tiny_lm_config()
+    flat = {k: jnp.asarray(v) for k, v in random_lm_flat(cfg, seed=3).items()}
+    params, rep = dsv2.params_from_flat(flat, cfg)
+    rep.raise_on_errors()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    shared = params["layers_moe"]["shared"]
+    q = dsv2.quantize_lm_params(params, scope="full")
+    ent = q["moe_q8"][0]
+    assert "pe_gu_q8" in ent
+    i_e = ent["gu_q8"].shape[-1] // 2
+    n_sh = shared["gate"].shape[-1] // i_e
+    assert ent["pe_gu_q8"].shape[0] == n_sh
+    # Dequantized pe halves stitch back into the shared weights (to int8
+    # rounding error of the per-half scales).
+    gu = np.asarray(ent["pe_gu_q8"], np.float32) * np.asarray(ent["pe_gu_scale"])
+    gate_re = np.concatenate([gu[t, :, :i_e] for t in range(n_sh)], axis=-1)
+    np.testing.assert_allclose(
+        gate_re, np.asarray(shared["gate"][0], np.float32), atol=2e-3, rtol=2e-2
+    )
+
+
 def test_fused_unselected_experts_do_not_contribute():
     # Poison every expert that routing did not select with NaN weights: the
     # fused kernel must never read them into the result.
