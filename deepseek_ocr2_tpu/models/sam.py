@@ -345,11 +345,24 @@ def _block(x: jnp.ndarray, blk: Params, cfg: SamConfig, window: int) -> jnp.ndar
         x = _attention(x, blk["attn"], cfg.num_heads)
     x = shortcut + x
     xn = layer_norm(x, blk["ln2"]["w"], blk["ln2"]["b"], cfg.layer_norm_eps)
-    mlp = (
-        _gelu(xn @ blk["mlp"]["w1"].astype(x.dtype) + blk["mlp"]["b1"].astype(x.dtype))
-        @ blk["mlp"]["w2"].astype(x.dtype)
-        + blk["mlp"]["b2"].astype(x.dtype)
-    )
+    m = blk["mlp"]
+    bb, hh, ww, cc = xn.shape
+    ff = m["w1"].shape[1]
+    if pallas_enabled() and cc % 128 == 0 and ff % 128 == 0:
+        # Fused M-tiled MLP: VMEM-resident weights, no HBM round-trip for
+        # the [M, 4E] intermediate, erf overlapped with the dots
+        # (ops/fused_mlp.py; same rounding points as the XLA form below).
+        from ..ops.fused_mlp import mlp_gelu
+
+        mlp = mlp_gelu(
+            xn.reshape(bb * hh * ww, cc), m["w1"], m["b1"], m["w2"], m["b2"]
+        ).reshape(bb, hh, ww, cc)
+    else:
+        mlp = (
+            _gelu(xn @ m["w1"].astype(x.dtype) + m["b1"].astype(x.dtype))
+            @ m["w2"].astype(x.dtype)
+            + m["b2"].astype(x.dtype)
+        )
     return x + mlp
 
 

@@ -120,8 +120,95 @@ def main():
     print(f"neck + net_2 + net_3          {dt * 1e3:8.2f} ms")
 
 
+def glue_probes():
+    """Isolate the gap between sum-of-block timings and the full tower."""
+    cfg = OCR2Config().sam
+    key = jax.random.PRNGKey(0)
+    params = sam_mod.init_params(cfg, key, dtype=jnp.bfloat16)
+    x = jax.random.normal(key, (B, 64, 64, 768), jnp.bfloat16)
+    blocks = params["blocks"]
+
+    # The real 12-block sequence (window pattern W W G x4), no conv/neck.
+    def tower(x, blocks):
+        for i, blk in enumerate(blocks):
+            window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = sam_mod._block(x, blk, cfg, window)
+        return x
+
+    dt = _time_chain(chain(tower), x, blocks)
+    print(f"12-block tower (W W G x4)     {dt * 1e3:8.2f} ms")
+
+    # Same blocks, summed from per-block single timings.
+    tot = 0.0
+    for i in (0, 2):  # one windowed, one global, scaled by count
+        blk = blocks[i]
+        window = 0 if i in cfg.global_attn_indexes else cfg.window_size
+        dt = _time_chain(chain(lambda x, b2: sam_mod._block(x, b2, cfg, window)), x, blk)
+        n = 4 if window == 0 else 8
+        tot += n * dt
+        kind = "global" if window == 0 else "windowed"
+        print(f"  {kind} block x{n}             {n * dt * 1e3:8.2f} ms")
+    print(f"sum of isolated blocks        {tot * 1e3:8.2f} ms")
+
+    # W->G and G->W adjacent pairs (layout transitions between block kinds).
+    for name, seq in (("W->W", (14, 14)), ("W->G", (14, 0)), ("G->W", (0, 14))):
+        def pair(x, blocks, seq=seq):
+            x = sam_mod._block(x, blocks[0], cfg, seq[0])
+            return sam_mod._block(x, blocks[1], cfg, seq[1])
+
+        dt = _time_chain(chain(pair), x, blocks)
+        print(f"pair {name}                     {dt * 1e3:8.2f} ms")
+
+    # MLP gelu dtype ablation.
+    blk = blocks[0]
+
+    def mlp_f32gelu(x, b2):
+        return (
+            sam_mod._gelu(x @ b2["mlp"]["w1"].astype(x.dtype) + b2["mlp"]["b1"].astype(x.dtype))
+            @ b2["mlp"]["w2"].astype(x.dtype)
+        )
+
+    def mlp_bf16gelu(x, b2):
+        h = x @ b2["mlp"]["w1"].astype(x.dtype) + b2["mlp"]["b1"].astype(x.dtype)
+        return jax.nn.gelu(h, approximate=False) @ b2["mlp"]["w2"].astype(x.dtype)
+
+    def mlp_nogelu(x, b2):
+        h = x @ b2["mlp"]["w1"].astype(x.dtype) + b2["mlp"]["b1"].astype(x.dtype)
+        return h @ b2["mlp"]["w2"].astype(x.dtype)
+
+    for name, fn in (("f32 erf gelu", mlp_f32gelu), ("bf16 erf gelu", mlp_bf16gelu), ("no gelu", mlp_nogelu)):
+        dt = _time_chain(chain(fn), x, blk)
+        print(f"MLP {name:16s}        {dt * 1e3:8.2f} ms")
+
+    # Attention sub-phases: qkv proj, rel-bias einsums, kernel.
+    attn = blk["attn"]
+
+    def qkv_only(x, a):
+        return x @ a["qkv_w"].astype(x.dtype) + a["qkv_b"].astype(x.dtype)
+
+    dt = _time_chain(chain(qkv_only), x, attn)
+    print(f"attn qkv proj alone           {dt * 1e3:8.2f} ms")
+
+    def relbias(x, a):
+        b, h, w, dim = x.shape
+        hd = dim // cfg.num_heads
+        q = (x @ a["qkv_w"][:, :dim].astype(x.dtype)).reshape(b, h * w, cfg.num_heads, hd)
+        q32 = q.transpose(0, 2, 1, 3).astype(jnp.float32).reshape(b * cfg.num_heads, h, w, hd)
+        rh = sam_mod.get_rel_pos(h, h, a["rel_h"])
+        rw = sam_mod.get_rel_pos(w, w, a["rel_w"])
+        rel_h = jnp.einsum("nhwc,hkc->nhwk", q32, rh)
+        rel_w = jnp.einsum("nhwc,wkc->nhwk", q32, rw)
+        return rel_h.sum() + rel_w.sum()
+
+    dt = _time_chain(chain(relbias), x, attn)
+    print(f"rel-bias (qproj+einsums)      {dt * 1e3:8.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SAM_GLUE"):
+        glue_probes()
+    else:
+        main()
 
 
 def full_towers():
