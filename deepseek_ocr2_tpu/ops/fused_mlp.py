@@ -106,7 +106,7 @@ def mlp_gelu(
     w2: jnp.ndarray,  # [F, E]
     b2: jnp.ndarray,  # [E]
     *,
-    block_m: int = 256,  # 512 put the working set 88 KB over the 16 MB scoped-VMEM limit
+    block_m: int = 512,
     interpret: bool = False,
     n_split: int | None = None,  # override the F-split (tests)
 ) -> jnp.ndarray:
@@ -121,14 +121,17 @@ def mlp_gelu(
     m_pad = -(-m // block_m) * block_m
     xp = x if m_pad == m else jnp.pad(x, ((0, m_pad - m), (0, 0)))
 
-    # F-split: smallest n_s whose double-buffered weight blocks fit the
-    # 16 MB scoped-VMEM limit alongside x/out/acc (~10 MB weight budget;
-    # at SAM shapes n_s=2 -> 9.4 MB and the per-tile weight re-stream,
-    # ~340 MB/call at M=16k, hides under the ~2 ms of compute).
+    # F-split: smallest n_s whose double-buffered weight blocks fit well
+    # inside the 16 MB scoped-VMEM limit alongside x/out/acc. The limit's
+    # accounting has ~1-2 MB of opaque M-dependent overhead (measured: a
+    # 9.4 MB weight set OOM'd by 88-204 KB at some M), so the budget leaves
+    # real headroom. The per-tile weight re-stream this costs (~full weights
+    # per row tile once s alternates) stays under the tile's MXU time at
+    # SAM shapes.
     bytes_per_el = jnp.dtype(x.dtype).itemsize
     n_s = 1
     while (
-        2 * e * (f // n_s) * bytes_per_el * 2 > 10 * 1024 * 1024
+        2 * e * (f // n_s) * bytes_per_el * 2 > 6 * 1024 * 1024
         and n_s < 8
         and f % (2 * n_s) == 0
         and (f // (2 * n_s)) % 128 == 0
