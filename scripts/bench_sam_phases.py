@@ -203,6 +203,38 @@ def glue_probes():
     dt = _time_chain(chain(relbias), x, attn)
     print(f"rel-bias (qproj+einsums)      {dt * 1e3:8.2f} ms")
 
+    # Head/tail pieces with a larger iteration window (they are cheap per
+    # iter, so the 4/20 diff is all noise).
+    global ITERS_LO, ITERS_HI
+    lo_hi = (ITERS_LO, ITERS_HI)
+    ITERS_LO, ITERS_HI = 16, 80
+
+    img = jax.random.uniform(key, (B, 3, 1024, 1024), jnp.bfloat16, -1, 1)
+
+    def head(img, p):
+        y = sam_mod._conv2d(img, p["patch_embed"]["w"], p["patch_embed"]["b"], stride=cfg.patch_size)
+        y = y.transpose(0, 2, 3, 1)
+        return y + sam_mod.resize_pos_embed(p["pos_embed"], y.shape[1], y.shape[2]).astype(y.dtype)
+
+    dt = _time_chain(chain(head), img, params)
+    print(f"head (patch conv + pos add)   {dt * 1e3:8.2f} ms")
+
+    feats = jax.random.normal(key, (B, 64, 64, 768), jnp.bfloat16)
+
+    def tail2(x, p):
+        x = x.transpose(0, 3, 1, 2)
+        n = p["neck"]
+        y = sam_mod._conv2d(x, n["conv1"])
+        y = sam_mod.layer_norm_2d(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d(y, n["conv2"], padding=((1, 1), (1, 1)))
+        y = sam_mod.layer_norm_2d(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d(y, p["net_2"], stride=2, padding=((1, 1), (1, 1)))
+        return sam_mod._conv2d(y, p["net_3"], stride=2, padding=((1, 1), (1, 1)))
+
+    dt = _time_chain(chain(tail2), feats, params)
+    print(f"tail (NCHW + neck + nets)     {dt * 1e3:8.2f} ms")
+    ITERS_LO, ITERS_HI = lo_hi
+
 
 if __name__ == "__main__":
     if os.environ.get("SAM_GLUE"):
