@@ -106,17 +106,17 @@ def _attn_kernel_relpos(
     tq = q_ref.shape[1]
     lk = k_ref.shape[1]
     k_h = lk // k_w
-    # bias[q, kh*Kw + kw] = rel_h[q, kh] + rel_w[q, kw], expanded via 0/1
-    # matrices on the MXU (Mosaic cannot shape-cast a [TQ, Kh, Kw] merge when
-    # Kh/Kw are sub-lane sized). Shared across the NB problems.
+    # bias[q, kh*Kw + kw] = rel_h[q, kh] + rel_w[q, kw]. The rel_w half is a
+    # pure lane-tile of the [TQ, Kw] block (column j wants rel_w[:, j % Kw]),
+    # which pltpu.repeat produces on the VPU in exact f32. The rel_h half
+    # (element-repeat along lanes) has no cheap Mosaic form — a broadcast +
+    # [TQ, Kh, Kw] shape-cast fails infer-vector-layout — so it expands via a
+    # 0/1-select matrix on the MXU. Measured at the SAM global shape
+    # (Kh=Kw=64, Lk=4096): both-dots 5.6 ms/block, tile+dot 4.4 ms.
     kpos_h = jax.lax.broadcasted_iota(jnp.int32, (k_h, lk), 1) // k_w
     eh = (kpos_h == jax.lax.broadcasted_iota(jnp.int32, (k_h, lk), 0)).astype(
         jnp.float32
     )  # [Kh, Lk]
-    kpos_w = jax.lax.broadcasted_iota(jnp.int32, (k_w, lk), 1) % k_w
-    ew = (kpos_w == jax.lax.broadcasted_iota(jnp.int32, (k_w, lk), 0)).astype(
-        jnp.float32
-    )  # [Kw, Lk]
 
     for i in range(nb):
         q = q_ref[i]
@@ -127,8 +127,8 @@ def _attn_kernel_relpos(
 
         scores = _dg(q, k, (((1,), (1,)), ((), ()))) * jnp.float32(scale)
 
-        bias = _dg(rel_h, eh, (((1,), (0,)), ((), ()))) + _dg(
-            rel_w, ew, (((1,), (0,)), ((), ()))
+        bias = _dg(rel_h, eh, (((1,), (0,)), ((), ()))) + pltpu.repeat(
+            rel_w, k_h, axis=1
         )
         scores = scores + bias
 
@@ -178,10 +178,18 @@ def mha_pallas(
         assert mode == "none"
 
     bh = b * h
-    # VMEM budget: f32 K/V (2 * lk * d * 4) + score/bias/weight tiles
-    # (block_q * lk * 4 each) + expansion matrices must stay under ~16 MB.
-    # At L=4096 that means block_q=128 (measured 16.56M OOM at 256).
-    if lk * 4 * (2 * d + 3 * block_q) > 12 * 1024 * 1024:
+    # VMEM budget: K/V blocks stay bf16 (2 * lk * d * 2) and the big tiles
+    # are the f32 score/bias/weight rows (block_q * lk * 4 each) plus the
+    # rel-pos select matrix ((lk/kw) * lk * 4). The rel path fits block_q=256
+    # at L=4096 (~14.6 MB) and is measurably faster there than 128 (fewer
+    # per-step iota/eh builds, bigger MXU M): 4.4 vs 5.7 ms per SAM global
+    # block. The plain path keeps the older conservative split (its f32
+    # variants were measured to OOM at 256 with L=4096).
+    if use_rel:
+        eh_bytes = (lk // rel_w.shape[-1]) * _round_up(lk, 128) * 4
+        if 2 * lk * d * 2 + 3 * block_q * lk * 4 + eh_bytes > 15 * 1024 * 1024:
+            block_q = 128
+    elif lk * 4 * (2 * d + 3 * block_q) > 12 * 1024 * 1024:
         block_q = 128
     block_q = min(block_q, _round_up(lq, 128))
     lq_pad = _round_up(lq, block_q)

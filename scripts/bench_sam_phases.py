@@ -16,7 +16,7 @@ import numpy as np
 from deepseek_ocr2_tpu.configs import OCR2Config
 from deepseek_ocr2_tpu.models import sam as sam_mod
 
-ITERS_LO, ITERS_HI = 4, 20
+ITERS_LO, ITERS_HI = 8, 40
 B = 4
 
 
