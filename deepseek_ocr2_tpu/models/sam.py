@@ -20,6 +20,7 @@ Output: [B, 896, S/64, S/64] feature maps (16x16 for 1024 inputs, 12x12 for
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -28,7 +29,7 @@ import numpy as np
 
 from ..configs import SamConfig
 from ..io.safetensors_io import FlatSource, LoadReport
-from ..ops.flash_attention import mha_pallas, pallas_enabled
+from ..ops.flash_attention import mha_pallas, mha_win_pallas, pallas_enabled
 from ..ops.norms import layer_norm, layer_norm_2d
 
 Params = Dict[str, Any]
@@ -266,6 +267,39 @@ def _attention(
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
+    scale_ = 1.0 / math.sqrt(hd)
+    if (
+        pallas_enabled()
+        and os.environ.get("DEEPSEEK_SAM_WIN_KERNEL", "") == "1"
+        and valid_hw is not None
+        and h == w
+        and l % 128 == 0
+        and l >= 256
+    ):
+        # Padded-window fast path: the rel bias is computed INSIDE the
+        # kernel from the flattened tables (see _attn_kernel_relwin) —
+        # no q32 cast, no batched einsums, no [B*H, L, win] bias tensors
+        # through HBM, and the key-pad mask is a static in-kernel term.
+        vh, vw = valid_hw
+        assert vh == vw, "SAM windows are square"
+        rh = get_rel_pos(vh, vh, attn["rel_h"])  # [vh, vh, hd] f32
+        rw = get_rel_pos(vw, vw, attn["rel_w"])
+        rhf = (
+            jnp.pad(rh, ((0, h - vh), (0, h - vh), (0, 0)))
+            .transpose(2, 0, 1)
+            .reshape(hd, l)
+        )
+        rwf = (
+            jnp.pad(rw, ((0, w - vw), (0, w - vw), (0, 0)))
+            .transpose(2, 0, 1)
+            .reshape(hd, l)
+        )
+        ctx = mha_win_pallas(
+            q, k, v, rhf, rwf, scale=scale_, win=h, valid=vh, out_dtype=x.dtype
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, h, w, dim)
+        return ctx @ attn["proj_w"].astype(x.dtype) + attn["proj_b"].astype(x.dtype)
+
     q32 = q.astype(jnp.float32)
     k32 = k.astype(jnp.float32)
     v32 = v.astype(jnp.float32)
@@ -380,8 +414,6 @@ def resize_pos_embed(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
       interp_bilinear -> bilinear, no antialias (reference default)
       interp_bicubic  -> bicubic, no antialias
     """
-    import os
-
     _, ph, pw, c = pos.shape
     if (ph, pw) == (h, w):
         return pos

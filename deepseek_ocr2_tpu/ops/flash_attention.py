@@ -141,6 +141,134 @@ def _attn_kernel_relpos(
         o_ref[i] = out.astype(o_ref.dtype)
 
 
+def _attn_kernel_relwin(
+    q_ref,  # [NB, T2, D] padded window tokens (win*win)
+    k_ref,  # [NB, T2, D]
+    v_ref,  # [NB, T2, D]
+    rhf_ref,  # [D, T2] f32: rhf[c, h*win + kh] = rel_h_table[h, kh, c]
+    rwf_ref,  # [D, T2] f32: rwf[c, w*win + kw] = rel_w_table[w, kw, c]
+    o_ref,  # [NB, T2, D]
+    *,
+    scale: float,
+    win: int,
+    valid: int,
+    nb: int,
+):
+    """Windowed SAM attention with the decomposed rel-pos bias computed
+    entirely in VMEM (sam.rs:345-411 semantics).
+
+    The outside-XLA form (q32 cast -> two batched einsums -> where-masks ->
+    [B*H, T2, win] HBM tensors streamed back in) costs ~1.7 ms per SAM
+    windowed block in glue and traffic. Here the whole bias comes from four
+    MXU dots on tiles that already live in VMEM:
+
+      rel_all_h[q, h*win+kh] = q32[q] . rel_h_table[h, kh]   (q @ rhf)
+      bias_h[q, kk] = rel_all_h[q, h(q)*win + kh(kk)]
+                    = ((rel_all_h * rowmask_h) @ EH)[q, kk]
+
+    where rowmask_h selects each query row's own h-group and EH is the
+    static 0/1 matrix EH[j, kk] = (j % win == kk // win); rel_w is the same
+    with w(q) = q % win and EW[j, kk] = (j % win == kk % win). The masked
+    select dots move exactly one f32 value per output (exact under any
+    precision that preserves copies; under the tests' global 'highest' they
+    are bit-exact). Window padding (win > valid, e.g. SAM's 14->16) is a
+    static key mask: padded keys get -1e30 before the softmax, so their
+    weights underflow to exactly 0 and padded-query rows produce garbage the
+    caller slices off — same contract as the streamed-bias path.
+    """
+    t2 = q_ref.shape[1]
+    qi = jax.lax.broadcasted_iota(jnp.int32, (t2, t2), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (t2, t2), 1)
+    mask_h = (ji // win == qi // win).astype(jnp.float32)
+    mask_w = (ji // win == qi % win).astype(jnp.float32)
+    eh = (qi % win == ji // win).astype(jnp.float32)  # EH[j, kk]
+    ew = (qi % win == ji % win).astype(jnp.float32)  # EW[j, kk]
+    if valid < win:
+        key_pad = jnp.where(
+            (ji // win >= valid) | (ji % win >= valid),
+            jnp.float32(-1.0e30),
+            jnp.float32(0.0),
+        )
+    else:
+        key_pad = None
+    rhf = rhf_ref[...]
+    rwf = rwf_ref[...]
+
+    for i in range(nb):
+        q = q_ref[i]
+        k = k_ref[i]
+        v = v_ref[i].astype(jnp.float32)
+        q32 = q.astype(jnp.float32)
+
+        scores = _dg(q, k, (((1,), (1,)), ((), ()))) * jnp.float32(scale)
+
+        rel_all_h = _dg(q32, rhf, (((1,), (0,)), ((), ())))  # [T2, T2]
+        bias_h = _dg(rel_all_h * mask_h, eh, (((1,), (0,)), ((), ())))
+        rel_all_w = _dg(q32, rwf, (((1,), (0,)), ((), ())))
+        bias_w = _dg(rel_all_w * mask_w, ew, (((1,), (0,)), ((), ())))
+        scores = scores + bias_h + bias_w
+        if key_pad is not None:
+            scores = scores + key_pad
+
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = _dg(weights, v, (((1,), (0,)), ((), ())))
+        o_ref[i] = out.astype(o_ref.dtype)
+
+
+def mha_win_pallas(
+    q: jnp.ndarray,  # [B, H, T2, D], T2 = win*win
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rhf: jnp.ndarray,  # [D, T2] f32 flattened rel_h table (see kernel)
+    rwf: jnp.ndarray,  # [D, T2] f32
+    *,
+    scale: float,
+    win: int,
+    valid: int,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed rel-pos attention with the bias built in VMEM from the raw
+    rel tables. One window = one problem; NB problems batch per grid step
+    (the SAM windowed case has ~1200 tiny independent attentions)."""
+    b, h, t2, d = q.shape
+    assert t2 == win * win and k.shape[2] == t2
+    assert t2 % 128 == 0, "windowed kernel requires win*win % 128 == 0"
+    out_dtype = out_dtype or q.dtype
+    bh = b * h
+
+    nb = 1
+    for cand in (16, 8, 4, 2):
+        # ~3 simultaneously-live f32 [T2, T2] tiles per problem (scores +
+        # rel_all + bias; Mosaic reuses the rest across the unrolled loop),
+        # plus ~1.4 MB of shared static masks outside the loop.
+        if bh % cand == 0 and cand * t2 * t2 * 4 * 3 < 8 * 1024 * 1024:
+            nb = cand
+            break
+
+    grid = (bh // nb,)
+    qkv_spec = pl.BlockSpec((nb, t2, d), lambda bi: (bi, 0, 0), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((d, t2), lambda bi: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _attn_kernel_relwin, scale=scale, win=win, valid=valid, nb=nb
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, tab_spec, tab_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, t2, d), out_dtype),
+        interpret=interpret,
+    )(
+        q.reshape(bh, t2, d),
+        k.reshape(bh, t2, d),
+        v.reshape(bh, t2, d),
+        rhf.astype(jnp.float32),
+        rwf.astype(jnp.float32),
+    )
+    return out.reshape(b, h, t2, d)
+
+
 def _pad_axis(x, axis, to):
     pad = to - x.shape[axis]
     if pad == 0:

@@ -108,3 +108,58 @@ def test_sam_padded_window_attention():
     padded = jnp.pad(wins, ((0, 0), (0, pad - win), (0, pad - win), (0, 0)))
     got = np.asarray(_attention(padded, attn, heads, valid_hw=(win, win)))
     np.testing.assert_allclose(got[:, :win, :win, :], want, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("win,valid", [(16, 14), (16, 16)])
+def test_windowed_inkernel_relpos(win, valid):
+    """mha_win_pallas computes the decomposed rel bias from the flattened
+    tables inside the kernel; must match the streamed-bias reference on the
+    valid region (padded-query rows are specified garbage)."""
+    from deepseek_ocr2_tpu.ops.flash_attention import mha_win_pallas
+
+    b, h, d = 3, 2, 64
+    t2 = win * win
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    q = _rand(ks[0], b, h, t2, d)
+    k = _rand(ks[1], b, h, t2, d)
+    v = _rand(ks[2], b, h, t2, d)
+    # Zero out padded token positions like the model's window pad does.
+    pos = np.arange(t2)
+    valid_tok = ((pos // win < valid) & (pos % win < valid)).astype(np.float32)
+    q = q * valid_tok[None, None, :, None]
+    k = k * valid_tok[None, None, :, None]
+    v = v * valid_tok[None, None, :, None]
+    rh_tab = _rand(ks[3], valid, valid, d) * 0.3  # [h, kh, c]
+    rw_tab = _rand(ks[4], valid, valid, d) * 0.3
+    scale = 1.0 / math.sqrt(d)
+
+    # Reference: explicit [T2, T2] bias with -1e30 on padded keys.
+    q4 = np.asarray(q).reshape(b, h, win, win, d)
+    rel_h = np.einsum("bhywc,yxc->bhywx", q4[:, :, :valid, :valid], np.asarray(rh_tab))
+    rel_w = np.einsum("bhywc,wxc->bhywx", q4[:, :, :valid, :valid], np.asarray(rw_tab))
+    bias = np.full((b, h, win, win, win, win), -1.0e30, np.float32)
+    bias[:, :, :valid, :valid, :valid, :valid] = (
+        rel_h[:, :, :, :, :, None] + rel_w[:, :, :, :, None, :]
+    )
+    bias_flat = jnp.asarray(bias.reshape(b, h, t2, t2))
+    want = np.asarray(sdpa(q, k, v, scale=scale, bias=bias_flat))
+
+    pad = win - valid
+    rhf = (
+        jnp.pad(rh_tab, ((0, pad), (0, pad), (0, 0))).transpose(2, 0, 1).reshape(d, t2)
+    )
+    rwf = (
+        jnp.pad(rw_tab, ((0, pad), (0, pad), (0, 0))).transpose(2, 0, 1).reshape(d, t2)
+    )
+    got = np.asarray(
+        mha_win_pallas(
+            q, k, v, rhf, rwf, scale=scale, win=win, valid=valid, interpret=INTERPRET
+        )
+    )
+    vq = valid_tok.reshape(win, win).astype(bool)
+    np.testing.assert_allclose(
+        got.reshape(b, h, win, win, d)[:, :, vq],
+        want.reshape(b, h, win, win, d)[:, :, vq],
+        rtol=3e-5,
+        atol=3e-5,
+    )
