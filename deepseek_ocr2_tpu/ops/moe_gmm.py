@@ -47,7 +47,18 @@ def _pick_bm(m: int) -> int:
     visit computes a full bm-row tile — at decode scale (M a few hundred,
     most visits nearly empty) big tiles turn the kernel compute-bound on
     garbage rows (measured 31.5 ms/step at b=32 with bm=256 vs 19.2 dense).
-    Small tiles keep the kernel at the weight-bandwidth floor instead."""
+    Small tiles keep the kernel at the weight-bandwidth floor instead.
+
+    At prefill scale the overcompute factor is 1 + E*bm/M (each of the E
+    group boundaries costs one extra full tile), so smaller tiles waste
+    less — bounded below by per-visit weight-DMA hiding (expert changes
+    stream ~4.6 MB; the tile's GEMMs must cover that latency).
+    DEEPSEEK_GMM_BM overrides for ablation."""
+    import os
+
+    env = os.environ.get("DEEPSEEK_GMM_BM")
+    if env:
+        return int(env)
     if m >= 2048:
         return _BM
     return 32

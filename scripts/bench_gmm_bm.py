@@ -1,0 +1,84 @@
+"""Ablate the gmm prefill row-tile height bm.
+
+The visit schedule costs V = M/bm + E full tiles, i.e. overcompute
+1 + E*bm/M: at crop-prefill scale (M=13.2k, E=64) bm=256 computes 2.25x
+the real rows. Smaller bm cuts that term; the floor is the per-expert
+weight stream (~6.9 MB/expert, paid once per expert regardless of bm)
+plus DMA-hiding on expert-change visits. This prints ms per full MoE FFN
+(swiglu + down + combine) for bm in {32, 64, 128, 256} at two prefill
+scales so the default can be picked from measurement.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepseek_ocr2_tpu.ops.moe_gmm import moe_ffn_gmm
+
+ITERS_LO, ITERS_HI = 8, 40
+E, H, I, K = 64, 1280, 896, 6
+
+
+def _time_chain(make_run, *args) -> float:
+    lo, hi = make_run(ITERS_LO), make_run(ITERS_HI)
+
+    def once(fn):
+        np.asarray(jax.device_get(fn(*args)))[:1]
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(fn(*args)))[:1]
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max(once(hi) - once(lo), 1e-9) / (ITERS_HI - ITERS_LO)
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    print(f"device: {jax.devices()[0]}  E={E} H={H} I={I} k={K}")
+    experts = {
+        "gate": jax.random.normal(key, (E, H, I), jnp.bfloat16) * 0.02,
+        "up": jax.random.normal(key, (E, H, I), jnp.bfloat16) * 0.02,
+        "down": jax.random.normal(key, (E, I, H), jnp.bfloat16) * 0.02,
+    }
+
+    for n in (700, 2200):
+        m = n * K
+        x = jax.random.normal(key, (n, H), jnp.bfloat16)
+        idx = jax.random.randint(key, (n, K), 0, E, jnp.int32)
+        w = jax.nn.softmax(jax.random.normal(key, (n, K), jnp.float32))
+        ideal_ms = 3 * m * H * I * 2 / 80e12 * 1e3  # 80 TF/s plain-GEMM rate
+        print(f"\nN={n} M={m}  (compute floor ~{ideal_ms:.2f} ms @80TF/s)")
+        for bm in (32, 64, 128, 256):
+            os.environ["DEEPSEEK_GMM_BM"] = str(bm)
+
+            def make_run(iters, bm=bm):
+                @jax.jit
+                def run(x, experts, w, idx):
+                    def body(c, _):
+                        y = moe_ffn_gmm(c, experts, w, idx)
+                        return c + y * jnp.bfloat16(1e-24), ()
+
+                    out, _ = jax.lax.scan(body, x, None, length=iters)
+                    return out
+
+                return run
+
+            dt = _time_chain(make_run, x, experts, w, idx)
+            over = 1 + E * bm / m
+            print(f"  bm={bm:4d}  {dt * 1e3:7.3f} ms  (static overcompute {over:.2f}x)")
+        os.environ.pop("DEEPSEEK_GMM_BM", None)
+
+
+if __name__ == "__main__":
+    main()
