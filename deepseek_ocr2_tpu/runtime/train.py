@@ -77,6 +77,57 @@ def init_opt_state(tx, params):
     return jax.jit(tx.init)(params)
 
 
+def _tree_flat(tree, prefix: str):
+    """Flatten a pytree to {<prefix>/<keypath>: np.ndarray}, skipping empty
+    nodes (optax EmptyState etc. flatten to no leaves)."""
+    import numpy as np
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = prefix + jax.tree_util.keystr(path)
+        out[name] = np.asarray(leaf)
+    return out
+
+
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    """Checkpoint the FULL fine-tuning state (params + optimizer moments +
+    step) to one safetensors file. Beyond the reference (inference-only);
+    the params half uses the same flat naming as `save_flat` consumers."""
+    import numpy as np
+
+    from ..io.safetensors_io import save_flat
+
+    flat = _tree_flat(params, "params")
+    flat.update(_tree_flat(opt_state, "opt"))
+    flat["step"] = np.asarray(step, np.int64)
+    save_flat(flat, path)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Restore (params, opt_state, step) saved by `save_train_state`.
+
+    Templates supply the tree structure (build them with the model's
+    init/params_from_flat + tx.init); leaves are loaded by keypath and cast
+    to each template leaf's dtype so resumed training is bit-identical."""
+    from ..io.safetensors_io import load_flat
+
+    flat = load_flat(path)
+
+    def restore(tree, prefix):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        vals = []
+        for path_k, leaf in leaves:
+            name = prefix + jax.tree_util.keystr(path_k)
+            if name not in flat:
+                raise KeyError(f"checkpoint missing {name!r}")
+            vals.append(jnp.asarray(flat[name], dtype=leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    params = restore(params_template, "params")
+    opt_state = restore(opt_state_template, "opt")
+    return params, opt_state, int(flat["step"])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
 def adamw_train_step(
     params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, tx

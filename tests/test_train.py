@@ -56,3 +56,45 @@ def test_adamw_reduces_loss():
     last = float(loss)
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    """Save/restore of the FULL train state (params + adamw moments + step):
+    2 straight steps == 1 step -> checkpoint -> restore -> 1 step, bit-exact."""
+    from deepseek_ocr2_tpu.runtime.train import (
+        adamw_train_step,
+        init_opt_state,
+        load_train_state,
+        make_optimizer,
+        save_train_state,
+    )
+
+    cfg = tiny_lm_config(num_hidden_layers=2)
+    tx = make_optimizer(lr=5e-3)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)), jnp.int32)
+
+    def fresh():
+        p = dsv2.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+        return p, init_opt_state(tx, p)
+
+    # Straight: two steps, no checkpoint.
+    params, opt_state = fresh()
+    params, opt_state, _ = adamw_train_step(params, opt_state, cfg, ids, tx)
+    params, opt_state, loss_straight = adamw_train_step(params, opt_state, cfg, ids, tx)
+
+    # Resumed: one step, save, restore into fresh templates, one more step.
+    p2, s2 = fresh()
+    p2, s2, _ = adamw_train_step(p2, s2, cfg, ids, tx)
+    ckpt = str(tmp_path / "train_state.safetensors")
+    save_train_state(ckpt, p2, s2, step=1)
+    tp, ts = fresh()  # templates only (structure + dtypes)
+    p3, s3, step = load_train_state(ckpt, tp, ts)
+    assert step == 1
+    p3, s3, loss_resumed = adamw_train_step(p3, s3, cfg, ids, tx)
+
+    assert float(loss_straight) == float(loss_resumed)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p3)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
