@@ -1,6 +1,7 @@
 """CLI — mirrors the reference command surface (main.rs:122-261).
 
-Subcommands: inspect | generate-text | generate-ocr | debug-rope | serve.
+Subcommands: inspect | generate-text | generate-ocr | debug-rope | serve |
+convert | validate-hf | train (fine-tuning, beyond the reference).
 
 Backend flag maps the reference's vulkan|ndarray split to tpu|cpu. Dtype
 flags accept f32|f16|bf16; f16 is mapped to bf16 on TPU (no hardware f16)
@@ -135,6 +136,33 @@ def build_parser() -> argparse.ArgumentParser:
         "--emit",
         default=None,
         help="write the transcript JSON (generated token ids + text + fingerprints) here",
+    )
+
+    sp = sub.add_parser(
+        "train", help="Fine-tune the LM trunk on a text dataset (AdamW + resume)"
+    )
+    sp.add_argument("--backend", choices=["tpu", "cpu"], default="tpu")
+    sp.add_argument("--weights", required=True)
+    sp.add_argument("--tokenizer", required=True)
+    sp.add_argument("--config", default=None, help="JSON model-config overrides")
+    sp.add_argument("--num-hidden-layers", type=int, default=None)
+    sp.add_argument(
+        "--data", required=True, help="JSONL ({'text': ...} per line) or plain text"
+    )
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--batch-size", type=int, default=4)
+    sp.add_argument("--seq-len", type=int, default=512)
+    sp.add_argument("--lr", type=float, default=1e-5)
+    sp.add_argument("--weight-decay", type=float, default=0.01)
+    sp.add_argument("--clip-norm", type=float, default=1.0)
+    sp.add_argument("--eos-token-id", type=int, default=1)
+    sp.add_argument("--save-every", type=int, default=0, help="0 = only at the end")
+    sp.add_argument(
+        "--state-out", default=None, help="train-state checkpoint path (params+opt+step)"
+    )
+    sp.add_argument("--resume", default=None, help="train-state checkpoint to resume")
+    sp.add_argument(
+        "--out", default=None, help="final params as a PyTorch-layout safetensors"
     )
 
     sp = sub.add_parser("debug-rope", help="RoPE numeric sanity check on this backend")
@@ -521,6 +549,115 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """LM fine-tuning loop: packed next-token CE, AdamW + global-norm clip,
+    full-state checkpointing (beyond the inference-only reference; the step
+    itself lives in runtime/train.py and backprops through the same scan
+    stack and Pallas MoE kernels as inference)."""
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .configs import DeepseekV2Config
+    from .io import DtypePolicy, load_flat, save_flat
+    from .models import deepseek_v2 as dsv2
+    from .runtime.train import (
+        adamw_train_step,
+        init_opt_state,
+        load_train_state,
+        make_optimizer,
+        save_train_state,
+    )
+    from .utils.tokenizer import load_tokenizer
+
+    if args.config:
+        from .configs import config_from_json
+
+        lm_cfg = config_from_json(args.config).lm
+    else:
+        lm_cfg = DeepseekV2Config()
+    if args.num_hidden_layers:
+        lm_cfg = dataclasses.replace(lm_cfg, num_hidden_layers=args.num_hidden_layers)
+
+    flat = load_flat(
+        args.weights,
+        DtypePolicy(default=None),
+        include_regex=[
+            r"^model\.embed_tokens\.",
+            r"^model\.layers\.",
+            r"^model\.norm\.",
+            r"^lm_head\.",
+        ],
+    )
+    params, report = dsv2.params_from_flat(flat, lm_cfg)
+    print(report.summary(), file=sys.stderr)
+    report.raise_on_errors()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    del flat
+
+    tokenizer = load_tokenizer(args.tokenizer)
+    stream = []
+    with open(args.data) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                try:
+                    text = json.loads(line).get("text", "")
+                except json.JSONDecodeError:
+                    text = line
+            else:
+                text = line
+            stream.extend(tokenizer.encode(text, add_special_tokens=False).ids)
+            stream.append(args.eos_token_id)
+    if not stream:
+        raise SystemExit(f"error: no tokens in {args.data}")
+    need = args.steps * args.batch_size * args.seq_len
+    reps = -(-need // len(stream))
+    ids_all = np.tile(np.asarray(stream, np.int32), reps)[:need].reshape(
+        args.steps, args.batch_size, args.seq_len
+    )
+    print(
+        f"dataset: {len(stream)} tokens -> {args.steps} steps of "
+        f"[{args.batch_size}, {args.seq_len}]" + (" (cycled)" if reps > 1 else ""),
+        file=sys.stderr,
+    )
+
+    tx = make_optimizer(
+        lr=args.lr, weight_decay=args.weight_decay, clip_norm=args.clip_norm
+    )
+    start_step = 0
+    if args.resume:
+        opt_state = init_opt_state(tx, params)
+        params, opt_state, start_step = load_train_state(args.resume, params, opt_state)
+        print(f"resumed from {args.resume} at step {start_step}", file=sys.stderr)
+    else:
+        opt_state = init_opt_state(tx, params)
+
+    t0 = time.perf_counter()
+    for step in range(start_step, args.steps):
+        batch = jnp.asarray(ids_all[step % args.steps])
+        params, opt_state, loss = adamw_train_step(params, opt_state, lm_cfg, batch, tx)
+        loss_v = float(np.asarray(jax.device_get(loss)))  # also the step barrier
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        print(f"step {step + 1}/{args.steps}  loss {loss_v:.4f}  {dt * 1e3:.0f} ms")
+        if args.state_out and args.save_every and (step + 1) % args.save_every == 0:
+            save_train_state(args.state_out, params, opt_state, step + 1)
+            print(f"  saved {args.state_out}", file=sys.stderr)
+    if args.state_out:
+        save_train_state(args.state_out, params, opt_state, args.steps)
+        print(f"saved train state: {args.state_out}", file=sys.stderr)
+    if args.out:
+        save_flat(dsv2.flat_from_params(params, lm_cfg), args.out)
+        print(f"saved params: {args.out}", file=sys.stderr)
+    return 0
+
+
 def cmd_debug_rope(args) -> int:
     import jax.numpy as jnp
     import numpy as np
@@ -558,6 +695,8 @@ def main(argv=None) -> int:
         return cmd_validate_hf(args)
     if args.command == "convert":
         return cmd_convert(args)
+    if args.command == "train":
+        return cmd_train(args)
     if args.command == "debug-rope":
         return cmd_debug_rope(args)
     raise SystemExit(2)
