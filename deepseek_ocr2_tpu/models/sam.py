@@ -30,7 +30,7 @@ import numpy as np
 from ..configs import SamConfig
 from ..io.safetensors_io import FlatSource, LoadReport
 from ..ops.flash_attention import mha_pallas, mha_win_pallas, pallas_enabled
-from ..ops.norms import layer_norm, layer_norm_2d
+from ..ops.norms import layer_norm
 
 Params = Dict[str, Any]
 
@@ -193,6 +193,38 @@ def _conv2d(x, w, b=None, stride=1, padding="VALID"):
     if b is not None:
         out = out + b.astype(x.dtype).reshape(1, -1, 1, 1)
     return out
+
+
+def _conv2d_nhwc(x, w, b=None, stride=1, padding="VALID"):
+    """NHWC conv; weights stay in the checkpoint's OIHW layout (the HWIO
+    flip is a tiny one-pass transpose vs re-laying-out the activations).
+    TPU's native conv layout — keeps the channel axis on the lanes so the
+    surrounding LayerNorms reduce over the minor dim."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype).transpose(2, 3, 1, 0),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def _patch_embed(x, w, b, patch: int) -> jnp.ndarray:
+    """[B, 3, S, S] NCHW pixels -> [B, S/p, S/p, E] NHWC patch tokens.
+
+    A stride==kernel conv has no window overlap, so it IS a reshape +
+    one GEMM (reference sam.rs:99-121 runs a real conv; here the MXU gets
+    a single [B*h*w, p*p*3] x [p*p*3, E] matmul and the NCHW->NHWC flip
+    rides the same data movement)."""
+    b_, c, hh, ww = x.shape
+    h, w_ = hh // patch, ww // patch
+    xp = x.reshape(b_, c, h, patch, w_, patch).transpose(0, 2, 4, 3, 5, 1)
+    xp = xp.reshape(b_, h, w_, patch * patch * c)
+    wm = w.astype(x.dtype).transpose(2, 3, 1, 0).reshape(patch * patch * c, -1)
+    return xp @ wm + b.astype(x.dtype)
 
 
 def _gelu(x):
@@ -432,8 +464,9 @@ def resize_pos_embed(pos: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 def sam_forward(params: Params, cfg: SamConfig, x: jnp.ndarray) -> jnp.ndarray:
     """[B, 3, S, S] image -> [B, net_3_chans, S/64, S/64] features."""
-    x = _conv2d(x, params["patch_embed"]["w"], params["patch_embed"]["b"], stride=cfg.patch_size)
-    x = x.transpose(0, 2, 3, 1)  # NHWC tokens
+    x = _patch_embed(
+        x, params["patch_embed"]["w"], params["patch_embed"]["b"], cfg.patch_size
+    )
     _, h, w, _ = x.shape
     x = x + resize_pos_embed(params["pos_embed"], h, w).astype(x.dtype)
 
@@ -441,12 +474,15 @@ def sam_forward(params: Params, cfg: SamConfig, x: jnp.ndarray) -> jnp.ndarray:
         window = 0 if i in cfg.global_attn_indexes else cfg.window_size
         x = _block(x, blk, cfg, window)
 
-    x = x.transpose(0, 3, 1, 2)  # NCHW
+    # Neck + downsample stay NHWC end-to-end (channel LayerNorm == last-axis
+    # LayerNorm there — same biased-variance math as layer_norm_2d); one
+    # NCHW flip on the tiny [B, C, S/64, S/64] output instead of per-op
+    # relayouts (reference sam.rs:510-540 is NCHW throughout).
     neck = params["neck"]
-    x = _conv2d(x, neck["conv1"])
-    x = layer_norm_2d(x, neck["ln1"]["w"], neck["ln1"]["b"], cfg.layer_norm_eps)
-    x = _conv2d(x, neck["conv2"], padding=((1, 1), (1, 1)))
-    x = layer_norm_2d(x, neck["ln2"]["w"], neck["ln2"]["b"], cfg.layer_norm_eps)
-    x = _conv2d(x, params["net_2"], stride=2, padding=((1, 1), (1, 1)))
-    x = _conv2d(x, params["net_3"], stride=2, padding=((1, 1), (1, 1)))
-    return x
+    x = x @ neck["conv1"][:, :, 0, 0].T.astype(x.dtype)  # 1x1 conv == matmul
+    x = layer_norm(x, neck["ln1"]["w"], neck["ln1"]["b"], cfg.layer_norm_eps)
+    x = _conv2d_nhwc(x, neck["conv2"], padding=((1, 1), (1, 1)))
+    x = layer_norm(x, neck["ln2"]["w"], neck["ln2"]["b"], cfg.layer_norm_eps)
+    x = _conv2d_nhwc(x, params["net_2"], stride=2, padding=((1, 1), (1, 1)))
+    x = _conv2d_nhwc(x, params["net_3"], stride=2, padding=((1, 1), (1, 1)))
+    return x.transpose(0, 3, 1, 2)

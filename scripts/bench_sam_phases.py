@@ -15,6 +15,7 @@ import numpy as np
 
 from deepseek_ocr2_tpu.configs import OCR2Config
 from deepseek_ocr2_tpu.models import sam as sam_mod
+from deepseek_ocr2_tpu.ops.norms import layer_norm_2d
 
 ITERS_LO, ITERS_HI = 8, 40
 B = 4
@@ -110,14 +111,29 @@ def main():
     def tail(x, p):
         n = p["neck"]
         y = sam_mod._conv2d(x, n["conv1"])
-        y = sam_mod.layer_norm_2d(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
+        y = layer_norm_2d(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
         y = sam_mod._conv2d(y, n["conv2"], padding=((1, 1), (1, 1)))
-        y = sam_mod.layer_norm_2d(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
+        y = layer_norm_2d(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
         y = sam_mod._conv2d(y, p["net_2"], stride=2, padding=((1, 1), (1, 1)))
         return sam_mod._conv2d(y, p["net_3"], stride=2, padding=((1, 1), (1, 1)))
 
     dt = _time_chain(chain(tail), nchw, params)
-    print(f"neck + net_2 + net_3          {dt * 1e3:8.2f} ms")
+    print(f"neck + nets (old NCHW)        {dt * 1e3:8.2f} ms")
+
+    nhwc = jax.random.normal(key, (B, 64, 64, 768), jnp.bfloat16)
+
+    def tail_nhwc(x, p):
+        n = p["neck"]
+        y = x @ n["conv1"][:, :, 0, 0].T.astype(x.dtype)
+        y = sam_mod.layer_norm(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d_nhwc(y, n["conv2"], padding=((1, 1), (1, 1)))
+        y = sam_mod.layer_norm(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d_nhwc(y, p["net_2"], stride=2, padding=((1, 1), (1, 1)))
+        y = sam_mod._conv2d_nhwc(y, p["net_3"], stride=2, padding=((1, 1), (1, 1)))
+        return y.transpose(0, 3, 1, 2)
+
+    dt = _time_chain(chain(tail_nhwc), nhwc, params)
+    print(f"neck + nets (NHWC, shipping)  {dt * 1e3:8.2f} ms")
 
 
 def glue_probes():
@@ -211,28 +227,35 @@ def glue_probes():
 
     img = jax.random.uniform(key, (B, 3, 1024, 1024), jnp.bfloat16, -1, 1)
 
-    def head(img, p):
+    def head_conv(img, p):
         y = sam_mod._conv2d(img, p["patch_embed"]["w"], p["patch_embed"]["b"], stride=cfg.patch_size)
         y = y.transpose(0, 2, 3, 1)
         return y + sam_mod.resize_pos_embed(p["pos_embed"], y.shape[1], y.shape[2]).astype(y.dtype)
 
+    dt = _time_chain(chain(head_conv), img, params)
+    print(f"head (old NCHW conv)          {dt * 1e3:8.2f} ms")
+
+    def head(img, p):
+        y = sam_mod._patch_embed(img, p["patch_embed"]["w"], p["patch_embed"]["b"], cfg.patch_size)
+        return y + sam_mod.resize_pos_embed(p["pos_embed"], y.shape[1], y.shape[2]).astype(y.dtype)
+
     dt = _time_chain(chain(head), img, params)
-    print(f"head (patch conv + pos add)   {dt * 1e3:8.2f} ms")
+    print(f"head (GEMM patch embed)       {dt * 1e3:8.2f} ms")
 
     feats = jax.random.normal(key, (B, 64, 64, 768), jnp.bfloat16)
 
     def tail2(x, p):
-        x = x.transpose(0, 3, 1, 2)
         n = p["neck"]
-        y = sam_mod._conv2d(x, n["conv1"])
-        y = sam_mod.layer_norm_2d(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
-        y = sam_mod._conv2d(y, n["conv2"], padding=((1, 1), (1, 1)))
-        y = sam_mod.layer_norm_2d(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
-        y = sam_mod._conv2d(y, p["net_2"], stride=2, padding=((1, 1), (1, 1)))
-        return sam_mod._conv2d(y, p["net_3"], stride=2, padding=((1, 1), (1, 1)))
+        y = x @ n["conv1"][:, :, 0, 0].T.astype(x.dtype)
+        y = sam_mod.layer_norm(y, n["ln1"]["w"], n["ln1"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d_nhwc(y, n["conv2"], padding=((1, 1), (1, 1)))
+        y = sam_mod.layer_norm(y, n["ln2"]["w"], n["ln2"]["b"], cfg.layer_norm_eps)
+        y = sam_mod._conv2d_nhwc(y, p["net_2"], stride=2, padding=((1, 1), (1, 1)))
+        y = sam_mod._conv2d_nhwc(y, p["net_3"], stride=2, padding=((1, 1), (1, 1)))
+        return y.transpose(0, 3, 1, 2)
 
     dt = _time_chain(chain(tail2), feats, params)
-    print(f"tail (NCHW + neck + nets)     {dt * 1e3:8.2f} ms")
+    print(f"tail (NHWC neck + nets)       {dt * 1e3:8.2f} ms")
     ITERS_LO, ITERS_HI = lo_hi
 
 
