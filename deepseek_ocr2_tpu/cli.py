@@ -156,6 +156,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--weight-decay", type=float, default=0.01)
     sp.add_argument("--clip-norm", type=float, default=1.0)
     sp.add_argument("--eos-token-id", type=int, default=1)
+    sp.add_argument(
+        "--mesh",
+        default=None,
+        help="'dp,mp' mesh for distributed training (e.g. 4,2: batch "
+        "DP-sharded, attention heads/MLP columns TP- and experts EP-sharded "
+        "over mp)",
+    )
     sp.add_argument("--save-every", type=int, default=0, help="0 = only at the end")
     sp.add_argument(
         "--state-out", default=None, help="train-state checkpoint path (params+opt+step)"
@@ -627,6 +634,20 @@ def cmd_train(args) -> int:
         file=sys.stderr,
     )
 
+    mesh = None
+    if args.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import lm_param_specs, make_mesh, shard_params
+
+        dp, mp = (int(v) for v in args.mesh.split(","))
+        mesh = make_mesh(dp=dp, mp=mp)
+        params = shard_params(params, mesh, lm_param_specs(lm_cfg))
+        batch_sharding = NamedSharding(mesh, P("dp", None))
+        if args.batch_size % dp:
+            raise SystemExit(f"error: --batch-size must be divisible by dp={dp}")
+        print(f"mesh: dp={dp} mp={mp} ({dp * mp} devices)", file=sys.stderr)
+
     tx = make_optimizer(
         lr=args.lr, weight_decay=args.weight_decay, clip_norm=args.clip_norm
     )
@@ -634,14 +655,27 @@ def cmd_train(args) -> int:
     if args.resume:
         opt_state = init_opt_state(tx, params)
         params, opt_state, start_step = load_train_state(args.resume, params, opt_state)
+        if mesh is not None:  # restored params land unsharded; re-lay them out
+            from .parallel import lm_param_specs, shard_params
+
+            params = shard_params(params, mesh, lm_param_specs(lm_cfg))
+            # Moments re-shard on the first step (XLA re-lays out donated
+            # inputs to the compiled step's sharding).
         print(f"resumed from {args.resume} at step {start_step}", file=sys.stderr)
     else:
         opt_state = init_opt_state(tx, params)
 
+    import contextlib
+
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
         batch = jnp.asarray(ids_all[step % args.steps])
-        params, opt_state, loss = adamw_train_step(params, opt_state, lm_cfg, batch, tx)
+        if mesh is not None:
+            batch = jax.device_put(batch, batch_sharding)
+        with mesh if mesh is not None else contextlib.nullcontext():
+            params, opt_state, loss = adamw_train_step(
+                params, opt_state, lm_cfg, batch, tx
+            )
         loss_v = float(np.asarray(jax.device_get(loss)))  # also the step barrier
         dt = time.perf_counter() - t0
         t0 = time.perf_counter()

@@ -143,3 +143,42 @@ def test_train_cli_resume_matches_straight(assets, tmp_path):
     assert fa.keys() == fb.keys()
     for k in fa:
         np.testing.assert_array_equal(fa[k], fb[k])
+
+
+def test_train_cli_mesh(assets, tmp_path):
+    """--mesh dp,mp fine-tuning on 8 virtual CPU devices (DP batch + TP/EP
+    params via parallel/); loss falls and the run completes."""
+    cmd_extra = ["--steps", "3", "--mesh", "4,2", "--batch-size", "4"]
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+
+    cmd = [
+        sys.executable,
+        "-m",
+        "deepseek_ocr2_tpu.cli",
+        "train",
+        "--weights",
+        str(assets / "tiny.safetensors"),
+        "--tokenizer",
+        str(assets / "tokenizer.json"),
+        "--config",
+        str(assets / "config.json"),
+        "--data",
+        str(assets / "data.jsonl"),
+        "--seq-len",
+        "16",
+        "--lr",
+        "1e-3",
+    ] + cmd_extra
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(env_extra)
+    r = subprocess.run(
+        cmd, cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout
+    assert "mesh: dp=4 mp=2 (8 devices)" in r.stdout
+    losses = _losses(r.stdout)
+    assert len(losses) == 3 and losses[-1] < losses[0], losses
