@@ -155,6 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lr", type=float, default=1e-5)
     sp.add_argument("--weight-decay", type=float, default=0.01)
     sp.add_argument("--clip-norm", type=float, default=1.0)
+    sp.add_argument(
+        "--grad-accum",
+        type=int,
+        default=1,
+        help="micro-batches per optimizer update (optax.MultiSteps)",
+    )
     sp.add_argument("--eos-token-id", type=int, default=1)
     sp.add_argument(
         "--mesh",
@@ -649,7 +655,10 @@ def cmd_train(args) -> int:
         print(f"mesh: dp={dp} mp={mp} ({dp * mp} devices)", file=sys.stderr)
 
     tx = make_optimizer(
-        lr=args.lr, weight_decay=args.weight_decay, clip_norm=args.clip_norm
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        clip_norm=args.clip_norm,
+        grad_accum=args.grad_accum,
     )
     start_step = 0
     if args.resume:

@@ -62,12 +62,20 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.95,
     clip_norm: float = 1.0,
+    grad_accum: int = 1,
 ):
-    """AdamW with global-norm clipping (the fine-tuning default)."""
-    return optax.chain(
+    """AdamW with global-norm clipping (the fine-tuning default).
+
+    grad_accum > 1 wraps in optax.MultiSteps: each train step contributes
+    one micro-batch gradient; params update every grad_accum-th step with
+    the averaged gradient (equivalent to a grad_accum-times-larger batch)."""
+    tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
     )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def init_opt_state(tx, params):

@@ -98,3 +98,36 @@ def test_train_state_checkpoint_resume(tmp_path):
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p3)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_matches_full_batch():
+    """k micro-steps with MultiSteps == one step on the concatenated batch
+    (grads average over equal-size micro-batches)."""
+    from deepseek_ocr2_tpu.runtime.train import (
+        adamw_train_step,
+        init_opt_state,
+        make_optimizer,
+    )
+
+    cfg = tiny_lm_config(num_hidden_layers=2)
+    rng = np.random.default_rng(11)
+    micro = [
+        jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+        for _ in range(2)
+    ]
+    full = jnp.concatenate(micro, axis=0)
+
+    p0 = dsv2.init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+
+    tx_full = make_optimizer(lr=5e-3)
+    s = init_opt_state(tx_full, p0)
+    p_full, _, _ = adamw_train_step(p0, s, cfg, full, tx_full)
+
+    tx_acc = make_optimizer(lr=5e-3, grad_accum=2)
+    p = dsv2.init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    s = init_opt_state(tx_acc, p)
+    for b in micro:
+        p, s, _ = adamw_train_step(p, s, cfg, b, tx_acc)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_full), jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
