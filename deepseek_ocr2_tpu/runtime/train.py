@@ -85,6 +85,62 @@ def init_opt_state(tx, params):
     return jax.jit(tx.init)(params)
 
 
+def ocr_loss(
+    params,  # composite tree: {"lm", "sam", "qwen2", "projector", "view_seperator"}
+    cfg,  # OCR2Config
+    ids: jnp.ndarray,  # [B, S] with the placeholder block at image_start
+    image_base: jnp.ndarray,  # [B, 3, S_img, S_img] normalized to [-1, 1]
+    patches,  # [B, P, 3, c, c] or None
+    image_start: int,
+    loss_mask: jnp.ndarray,  # [B, S] 1.0 where the token is a training target
+) -> jnp.ndarray:
+    """Masked next-token CE through the FULL composite (vision towers +
+    injection + LM), i.e. OCR fine-tuning on (image, transcript) pairs.
+    Gradients flow into SAM/Qwen2/projector/separator as well as the LM;
+    freeze towers by masking the optimizer (optax.masked) if desired."""
+    from ..models.deepseek_ocr2 import ocr_prefill_embeds_batched
+
+    b, s = ids.shape
+    embeds = ocr_prefill_embeds_batched(
+        params, cfg, ids, image_base, patches, image_start
+    )
+    cache = make_kv_cache(
+        cfg.lm.num_hidden_layers,
+        b,
+        cfg.lm.num_attention_heads,
+        s,
+        cfg.lm.head_dim,
+        dtype=embeds.dtype,
+    )
+    hidden, _ = lm_forward(params["lm"], cfg.lm, embeds, cache, pos=0, is_prefill=True)
+    logits = logits_all(params["lm"], hidden).astype(jnp.float32)
+    m = loss_mask[:, 1:].astype(jnp.float32)
+    # Masked positions may hold out-of-vocab ids (image placeholders, e.g.
+    # 128815); CE on them is NaN and 0*NaN stays NaN — sanitize first.
+    targets = jnp.where(m > 0, ids[:, 1:], 0)
+    per_tok = optax.softmax_cross_entropy_with_integer_labels(
+        logits[:, :-1], targets
+    )  # [B, S-1]
+    return jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "image_start", "tx"), donate_argnums=(0, 1)
+)
+def adamw_ocr_train_step(
+    params, opt_state, cfg, ids, image_base, patches, image_start, loss_mask, tx
+):
+    """One AdamW step on (image, transcript) pairs; returns
+    (new_params, new_opt_state, loss)."""
+    with no_prefill_lift():
+        loss, grads = jax.value_and_grad(ocr_loss)(
+            params, cfg, ids, image_base, patches, image_start, loss_mask
+        )
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 def _tree_flat(tree, prefix: str):
     """Flatten a pytree to {<prefix>/<keypath>: np.ndarray}, skipping empty
     nodes (optax EmptyState etc. flatten to no leaves)."""
