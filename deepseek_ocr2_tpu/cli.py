@@ -614,29 +614,39 @@ def cmd_train(args) -> int:
     tokenizer = load_tokenizer(args.tokenizer)
     stream = []
     with open(args.data) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line:
                 continue
             if line.startswith("{"):
                 try:
-                    text = json.loads(line).get("text", "")
+                    obj = json.loads(line)
                 except json.JSONDecodeError:
                     text = line
+                else:
+                    text = obj.get("text")
+                    if not isinstance(text, str):
+                        raise SystemExit(
+                            f"error: {args.data}:{lineno}: JSONL line has no "
+                            f'string "text" field (keys: {sorted(obj)})'
+                        )
             else:
                 text = line
             stream.extend(tokenizer.encode(text, add_special_tokens=False).ids)
             stream.append(args.eos_token_id)
     if not stream:
         raise SystemExit(f"error: no tokens in {args.data}")
-    need = args.steps * args.batch_size * args.seq_len
-    reps = -(-need // len(stream))
-    ids_all = np.tile(np.asarray(stream, np.int32), reps)[:need].reshape(
-        args.steps, args.batch_size, args.seq_len
-    )
+    stream_np = np.asarray(stream, np.int32)
+    bs = args.batch_size * args.seq_len
+    cycled = args.steps * bs > len(stream_np)
+
+    def batch_at(step: int) -> np.ndarray:
+        idx = (np.arange(bs, dtype=np.int64) + step * bs) % len(stream_np)
+        return stream_np[idx].reshape(args.batch_size, args.seq_len)
+
     print(
-        f"dataset: {len(stream)} tokens -> {args.steps} steps of "
-        f"[{args.batch_size}, {args.seq_len}]" + (" (cycled)" if reps > 1 else ""),
+        f"dataset: {len(stream_np)} tokens -> {args.steps} steps of "
+        f"[{args.batch_size}, {args.seq_len}]" + (" (cycled)" if cycled else ""),
         file=sys.stderr,
     )
 
@@ -664,12 +674,18 @@ def cmd_train(args) -> int:
     if args.resume:
         opt_state = init_opt_state(tx, params)
         params, opt_state, start_step = load_train_state(args.resume, params, opt_state)
-        if mesh is not None:  # restored params land unsharded; re-lay them out
+        if mesh is not None:  # restored state lands unsharded; re-lay it out
             from .parallel import lm_param_specs, shard_params
 
             params = shard_params(params, mesh, lm_param_specs(lm_cfg))
-            # Moments re-shard on the first step (XLA re-lays out donated
-            # inputs to the compiled step's sharding).
+            # Moments follow the params' layout: a fresh jit-init state
+            # inherits the param shardings, so device_put each restored
+            # leaf to its template leaf's sharding (avoids holding a full
+            # unsharded f32 moment tree on one device).
+            tmpl = init_opt_state(tx, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda t, v: jax.device_put(v, t.sharding), tmpl, opt_state
+            )
         print(f"resumed from {args.resume} at step {start_step}", file=sys.stderr)
     else:
         opt_state = init_opt_state(tx, params)
@@ -678,7 +694,7 @@ def cmd_train(args) -> int:
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
-        batch = jnp.asarray(ids_all[step % args.steps])
+        batch = jnp.asarray(batch_at(step))
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding)
         with mesh if mesh is not None else contextlib.nullcontext():

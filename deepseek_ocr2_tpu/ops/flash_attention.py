@@ -31,20 +31,23 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -1.0e4
 
 
-def _dg(a, b, dims):
+def _dg(a, b, dims, precision=None):
     """dot_general with precision picked by dtype (cf. moe_gmm._dot): bf16
     operands pin DEFAULT — a global 'highest' (the CPU parity conftest)
     would lower them to multi-pass Mosaic forms this backend rejects. f32
     operands inherit the global setting, so interpret-mode kernels match
     the XLA paths bit for bit on CPU while the TPU runtime keeps its fast
-    single-pass dots."""
-    prec = (
-        None
-        if a.dtype == jnp.float32 and b.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    single-pass dots. Pass `precision` to pin explicitly (f32 dots whose
+    values must survive untruncated — without it, production runs with no
+    global override lower f32 dots to bf16 multiplies)."""
+    if precision is None:
+        precision = (
+            None
+            if a.dtype == jnp.float32 and b.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
     return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=prec
+        a, b, dims, preferred_element_type=jnp.float32, precision=precision
     )
 
 
@@ -202,10 +205,14 @@ def _attn_kernel_relwin(
 
         scores = _dg(q, k, (((1,), (1,)), ((), ()))) * jnp.float32(scale)
 
-        rel_all_h = _dg(q32, rhf, (((1,), (0,)), ((), ())))  # [T2, T2]
-        bias_h = _dg(rel_all_h * mask_h, eh, (((1,), (0,)), ((), ())))
-        rel_all_w = _dg(q32, rwf, (((1,), (0,)), ((), ())))
-        bias_w = _dg(rel_all_w * mask_w, ew, (((1,), (0,)), ((), ())))
+        # f32 HIGHEST pinned: the select dots must move the f32 bias values
+        # untruncated (default precision would bf16-round them on TPU), and
+        # the rel_all dot feeds them.
+        hi = jax.lax.Precision.HIGHEST
+        rel_all_h = _dg(q32, rhf, (((1,), (0,)), ((), ())), precision=hi)  # [T2, T2]
+        bias_h = _dg(rel_all_h * mask_h, eh, (((1,), (0,)), ((), ())), precision=hi)
+        rel_all_w = _dg(q32, rwf, (((1,), (0,)), ((), ())), precision=hi)
+        bias_w = _dg(rel_all_w * mask_w, ew, (((1,), (0,)), ((), ())), precision=hi)
         scores = scores + bias_h + bias_w
         if key_pad is not None:
             scores = scores + key_pad

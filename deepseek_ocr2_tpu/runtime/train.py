@@ -156,7 +156,11 @@ def _tree_flat(tree, prefix: str):
 def save_train_state(path: str, params, opt_state, step: int) -> None:
     """Checkpoint the FULL fine-tuning state (params + optimizer moments +
     step) to one safetensors file. Beyond the reference (inference-only);
-    the params half uses the same flat naming as `save_flat` consumers."""
+    the params half uses the same flat naming as `save_flat` consumers.
+    Written via temp-file + rename so a crash mid-save never destroys the
+    previous checkpoint."""
+    import os
+
     import numpy as np
 
     from ..io.safetensors_io import save_flat
@@ -164,7 +168,9 @@ def save_train_state(path: str, params, opt_state, step: int) -> None:
     flat = _tree_flat(params, "params")
     flat.update(_tree_flat(opt_state, "opt"))
     flat["step"] = np.asarray(step, np.int64)
-    save_flat(flat, path)
+    tmp = path + ".tmp"
+    save_flat(flat, tmp)
+    os.replace(tmp, path)
 
 
 def load_train_state(path: str, params_template, opt_state_template):
@@ -184,12 +190,18 @@ def load_train_state(path: str, params_template, opt_state_template):
             name = prefix + jax.tree_util.keystr(path_k)
             if name not in flat:
                 raise KeyError(f"checkpoint missing {name!r}")
-            vals.append(jnp.asarray(flat[name], dtype=leaf.dtype))
+            # safetensors stores 0-d scalars (optax counts) as shape (1,);
+            # reshape to the template leaf so the jitted step doesn't see a
+            # new shape and recompile (and re-save the mutated shape).
+            val = jnp.asarray(flat[name], dtype=leaf.dtype)
+            vals.append(val.reshape(jnp.shape(leaf)))
         return jax.tree_util.tree_unflatten(treedef, vals)
 
     params = restore(params_template, "params")
     opt_state = restore(opt_state_template, "opt")
-    return params, opt_state, int(flat["step"])
+    import numpy as np
+
+    return params, opt_state, int(np.asarray(flat["step"]).reshape(())[()])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))

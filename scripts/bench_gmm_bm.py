@@ -24,23 +24,9 @@ import numpy as np
 
 from deepseek_ocr2_tpu.ops.moe_gmm import moe_ffn_gmm
 
-ITERS_LO, ITERS_HI = 8, 40
+from _bench_util import time_chain  # noqa: E402
+
 E, H, I, K = 64, 1280, 896, 6
-
-
-def _time_chain(make_run, *args) -> float:
-    lo, hi = make_run(ITERS_LO), make_run(ITERS_HI)
-
-    def once(fn):
-        np.asarray(jax.device_get(fn(*args)))[:1]
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(jax.device_get(fn(*args)))[:1]
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return max(once(hi) - once(lo), 1e-9) / (ITERS_HI - ITERS_LO)
 
 
 def main():
@@ -74,7 +60,7 @@ def main():
 
                 return run
 
-            dt = _time_chain(make_run, x, experts, w, idx)
+            dt = time_chain(make_run, x, experts, w, idx)
             over = 1 + E * bm / m
             print(f"  bm={bm:4d}  {dt * 1e3:7.3f} ms  (static overcompute {over:.2f}x)")
         os.environ.pop("DEEPSEEK_GMM_BM", None)

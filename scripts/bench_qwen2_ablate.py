@@ -29,40 +29,10 @@ from deepseek_ocr2_tpu.ops.flash_attention import mha_pallas
 from deepseek_ocr2_tpu.ops.norms import rms_norm
 from deepseek_ocr2_tpu.ops.rope import apply_rope
 
-ITERS_LO, ITERS_HI = 8, 40
+from _bench_util import chain, time_chain  # noqa: E402
+
+ITERS = dict(reps=3)
 B = 8
-
-
-def _time_chain(make_run, *args) -> float:
-    lo, hi = make_run(ITERS_LO), make_run(ITERS_HI)
-
-    def once(fn):
-        np.asarray(jax.device_get(fn(*args)))[:1]
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(jax.device_get(fn(*args)))[:1]
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return max(once(hi) - once(lo), 1e-9) / (ITERS_HI - ITERS_LO)
-
-
-def chain(body):
-    def make_run(iters):
-        @jax.jit
-        def run(x0, *rest):
-            def b(x, _):
-                y = body(x, *rest)
-                f = jnp.ravel(y)[:1].astype(x0.dtype) * jnp.asarray(1e-24, x0.dtype)
-                return x0 + f.reshape((1,) * x0.ndim), ()
-
-            x, _ = jax.lax.scan(b, x0, None, length=iters)
-            return x
-
-        return run
-
-    return make_run
 
 
 def layer_variant(x, lp, cfg, mask, cos, sin, n_prefix, *, attn=True, mlp=True,
@@ -126,7 +96,7 @@ def main():
     ]
     base = None
     for name, kw in variants:
-        dt = _time_chain(chain(lambda x, layers, kw=kw: tower(x, layers, **kw)), x, params["layers"])
+        dt = time_chain(chain(lambda x, layers, kw=kw: tower(x, layers, **kw)), x, params["layers"], **ITERS)
         delta = "" if base is None else f"  (delta {1e3 * (base - dt):+7.2f} ms)"
         if base is None:
             base = dt

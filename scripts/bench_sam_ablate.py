@@ -22,40 +22,10 @@ from deepseek_ocr2_tpu.configs import OCR2Config
 from deepseek_ocr2_tpu.models import sam as sam_mod
 from deepseek_ocr2_tpu.ops.flash_attention import mha_pallas
 
-ITERS_LO, ITERS_HI = 16, 80
+from _bench_util import chain, time_chain  # noqa: E402
+
+ITERS = dict(iters_lo=16, iters_hi=80, reps=3)
 B = 4
-
-
-def _time_chain(make_run, *args) -> float:
-    lo, hi = make_run(ITERS_LO), make_run(ITERS_HI)
-
-    def once(fn):
-        np.asarray(jax.device_get(fn(*args)))[:1]
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(jax.device_get(fn(*args)))[:1]
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return max(once(hi) - once(lo), 1e-9) / (ITERS_HI - ITERS_LO)
-
-
-def chain(body):
-    def make_run(iters):
-        @jax.jit
-        def run(x0, *rest):
-            def b(x, _):
-                y = body(x, *rest)
-                f = jnp.ravel(y)[:1].astype(x0.dtype) * jnp.asarray(1e-24, x0.dtype)
-                return x0 + f.reshape((1,) * x0.ndim), ()
-
-            x, _ = jax.lax.scan(b, x0, None, length=iters)
-            return x
-
-        return run
-
-    return make_run
 
 
 def block_variant(x, blk, cfg, window, *, mlp=True, ln=True, rel=True, attn=True):
@@ -136,7 +106,7 @@ def main():
     params = sam_mod.init_params(cfg, key, dtype=jnp.bfloat16)
     x = jax.random.normal(key, (B, 64, 64, 768), jnp.bfloat16)
     blocks = params["blocks"]
-    print(f"device: {jax.devices()[0]}  B={B}  iters {ITERS_LO}/{ITERS_HI}")
+    print(f"device: {jax.devices()[0]}  B={B}  iters {ITERS['iters_lo']}/{ITERS['iters_hi']}")
 
     def tower(x, blocks, *, window_size=cfg.window_size, **kw):
         for i, blk in enumerate(blocks):
@@ -154,7 +124,7 @@ def main():
     ]
     base = None
     for name, kw in variants:
-        dt = _time_chain(chain(lambda x, blocks, kw=kw: tower(x, blocks, **kw)), x, blocks)
+        dt = time_chain(chain(lambda x, blocks, kw=kw: tower(x, blocks, **kw)), x, blocks, **ITERS)
         delta = "" if base is None else f"  (delta {1e3 * (base - dt):+7.2f} ms)"
         if base is None:
             base = dt
