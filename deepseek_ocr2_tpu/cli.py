@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
             help="weight-only int8 for ALL decode weights (attention, MLPs, "
             "experts, lm_head); supersedes --moe-int8",
         )
+        sp.add_argument(
+            "--lookup-decode",
+            type=int,
+            default=0,
+            metavar="CHUNK",
+            help="prompt-lookup speculative greedy decoding with this chunk "
+            "width (single sequence; verified drafts, greedy-exact output)",
+        )
         sp.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
         sp.add_argument("--top-k", type=int, default=0)
         sp.add_argument("--top-p", type=float, default=1.0)
@@ -347,7 +355,13 @@ def _load_ocr_pipeline(args):
 
     tokenizer = load_tokenizer(args.tokenizer)
     act = "float32" if vision_default == "float32" else "bfloat16"
-    return OCR2Pipeline(params, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act), cfg
+    return (
+        OCR2Pipeline(
+            params, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act,
+            lookup_chunk=getattr(args, "lookup_decode", 0),
+        ),
+        cfg,
+    )
 
 
 def cmd_generate_text(args) -> int:
@@ -402,7 +416,8 @@ def cmd_generate_text(args) -> int:
     cfg = OCR2Config(lm=lm_cfg, eos_token_id=args.eos_token_id)
     act_dtype = str(params["embed"].dtype)
     pipe = OCR2Pipeline(
-        {"lm": params}, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act_dtype
+        {"lm": params}, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act_dtype,
+        lookup_chunk=getattr(args, "lookup_decode", 0),
     )
     result = pipe.generate_text(
         args.prompt,

@@ -778,15 +778,20 @@ def _attention_decode_pool(
     slice that XLA fuses into the score/context GEMMs, so the layer's cache
     is streamed once per step and never duplicated. Same math as the slice
     strategy (f32 RoPE/softmax per reference deepseek_v2.rs:319-324).
+
+    Chunk mode (s > 1, scalar pos — speculative-decode verification): the
+    s draft tokens write at pos..pos+s-1 in the same one
+    dynamic_update_slice, and query j's mask extends to pos+j so each
+    draft position sees exactly its causal prefix.
     """
     b, s, h = x.shape
-    assert s == 1
     nh, d = cfg.num_attention_heads, cfg.head_dim
     kv_dtype = k_all.dtype
 
-    q, k, v = _qkv_proj(x, attn, b, 1, nh, d, decode=True)
+    q, k, v = _qkv_proj(x, attn, b, s, nh, d, decode=True)
     li = jnp.asarray(li, jnp.int32)
     pos_arr = jnp.asarray(pos, jnp.int32)
+    assert s == 1 or pos_arr.ndim == 0, "chunk decode requires a shared position"
 
     if pos_arr.ndim == 0:
         q32, k32 = apply_rope(q, k, cos, sin, start=pos_arr)
@@ -820,11 +825,17 @@ def _attention_decode_pool(
     ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
     cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
     cap = ck.shape[2]
-    mask = (jnp.arange(cap)[None, :] > pos_b[:, None])[:, None, None, :]  # [B,1,1,cap]
+    if s == 1:
+        mask = (jnp.arange(cap)[None, :] > pos_b[:, None])[:, None, None, :]
+    else:
+        # Per-query causal budget: query j (at pos+j) sees keys <= pos+j.
+        mask = (
+            jnp.arange(cap)[None, :] > (pos_arr + jnp.arange(s))[:, None]
+        )[None, None]  # [1, 1, S, cap]
     ctx = sdpa(
         q32, ck, cv, scale=1.0 / math.sqrt(d), mask=mask, out_dtype=jnp.float32
     )
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, h).astype(x.dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h).astype(x.dtype)
     return _o_proj(ctx, attn, decode=True), k_all, v_all
 
 
@@ -836,6 +847,8 @@ def _decode_attention(
     `mode` selects the cache-update strategy (see _decode_attn_mode);
     returns (attn_out, k_all, v_all) with the pool updated in place.
     """
+    if xn.shape[1] > 1:
+        mode = "pool"  # only the pool strategy implements chunk decode
     if mode == "stacked":
         return _attention_decode_stacked(xn, attn, cfg, cos, sin, k_all, v_all, li, pos)
     if mode == "pool":

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import DeepseekV2Config
-from ..models.deepseek_v2 import lm_forward, logits_last, vocab_size_of
+from ..models.deepseek_v2 import lm_forward, logits_all, logits_last, vocab_size_of
 from ..ops.sampling import greedy_pick, ngram_ban_mask, sample_pick
 from .kv_cache import make_kv_cache
 
@@ -132,3 +132,136 @@ def greedy_generate(
     state = (cache, tokens, cur_len, tok, done, n_gen, jnp.int32(1), key)
     _, tokens, _, _, _, n_gen, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens, n_gen
+
+
+def _lookup_draft(hist, cur_len, match_n: int, draft_k: int):
+    """Prompt-lookup draft: find the LATEST prior occurrence of the current
+    match_n-gram suffix in hist[:cur_len] and return the draft_k tokens that
+    followed it. No match -> garbage guesses (correctness never depends on
+    draft quality; bad drafts just verify to 1 token/step)."""
+    t_buf = hist.shape[0]
+    last = jax.lax.dynamic_slice(
+        hist, (jnp.maximum(cur_len - match_n, 0),), (match_n,)
+    )
+    n_win = t_buf - match_n
+    eq = jnp.ones((n_win,), bool)
+    for j in range(match_n):
+        eq = eq & (hist[j : j + n_win] == last[j])
+    idx = jnp.arange(n_win, dtype=jnp.int32)
+    # Window fully inside the emitted tokens, excluding the suffix itself.
+    valid = eq & (idx < cur_len - match_n)
+    score = jnp.where(valid, idx, -1)
+    j_star = jnp.max(score)
+    start = jnp.maximum(j_star, 0) + match_n
+    return jax.lax.dynamic_slice(hist, (start,), (draft_k,))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "ngram_size",
+        "eos_id",
+        "capacity",
+        "kv_dtype",
+        "chunk",
+        "match_n",
+    ),
+)
+def lookup_greedy_generate(
+    params,
+    cfg: DeepseekV2Config,
+    inputs_embeds: jnp.ndarray,  # [1, S, H]
+    prompt_ids: jnp.ndarray,  # [1, S] or [S] i32
+    *,
+    max_new_tokens: int,
+    ngram_size: int = 0,
+    eos_id: int = 1,
+    capacity: int = 2048,
+    kv_dtype: str = "bfloat16",
+    chunk: int = 4,
+    match_n: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy generation with prompt-lookup speculative decoding (single
+    sequence). Same output contract as `greedy_generate`.
+
+    Each loop iteration feeds `chunk` embeddings — the last emitted token
+    plus chunk-1 drafted continuations (the tokens that followed the most
+    recent prior occurrence of the current match_n-gram) — through ONE
+    chunk-decode forward, then accepts the longest prefix where the model's
+    own greedy pick (ban mask included) agrees with the draft, plus the
+    first disagreeing pick as a bonus: 1..chunk tokens per weight pass.
+    OCR transcripts repeat structure heavily, so drafts hit often and the
+    per-token HBM cost drops below the b=1 byte floor. Output is greedy-
+    exact up to chunk-width GEMM rounding (the same class of difference as
+    changing decode batch size; beyond-reference capability, cf. HF
+    assisted generation / prompt-lookup decoding).
+    """
+    b, s, h = inputs_embeds.shape
+    assert b == 1, "speculative lookup decode is single-sequence"
+    assert s + max_new_tokens + chunk - 1 <= capacity, "capacity too small"
+    assert chunk >= 2 and match_n >= 1
+    if prompt_ids.ndim == 1:
+        prompt_ids = prompt_ids[None]
+    vocab = vocab_size_of(params)
+    t_buf = s + max_new_tokens
+
+    cache = make_kv_cache(
+        cfg.num_hidden_layers,
+        1,
+        cfg.num_attention_heads,
+        capacity,
+        cfg.head_dim,
+        dtype=jnp.dtype(kv_dtype),
+    )
+
+    hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)
+    logits0 = logits_last(params, hidden)[0]  # [V]
+
+    tokens = jnp.zeros((1, t_buf), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    ban0 = ngram_ban_mask(tokens[0], jnp.int32(s), ngram_size, vocab)
+    tok = greedy_pick(logits0, ban0)  # scalar
+    done = tok == eos_id
+    tokens = tokens.at[0, s].set(tok)
+    cur_len = jnp.int32(s + 1)
+    n_gen = jnp.int32(1)
+
+    def cond(state):
+        cache, tokens, cur_len, tok, done, n_gen = state
+        return jnp.logical_and(n_gen < max_new_tokens, ~done)
+
+    def body(state):
+        cache, tokens, cur_len, tok, done, n_gen = state
+        draft = _lookup_draft(tokens[0], cur_len, match_n, chunk - 1)
+        chunk_ids = jnp.concatenate([tok.reshape(1), draft])  # [chunk]
+        emb = jnp.take(params["embed"], chunk_ids, axis=0).astype(
+            inputs_embeds.dtype
+        )[None]
+        hidden, cache = lm_forward(
+            params, cfg, emb, cache, pos=cur_len - 1, is_prefill=False
+        )
+        logits = logits_all(params, hidden)[0]  # [chunk, V]
+
+        accepting = ~done
+        cur = tok
+        add = jnp.int32(0)
+        for i in range(chunk):
+            ban = ngram_ban_mask(tokens[0], cur_len + i, ngram_size, vocab)
+            t_i = greedy_pick(logits[i], ban)
+            emit = accepting & (n_gen + add < max_new_tokens)
+            old = tokens[0, cur_len + i]
+            tokens = tokens.at[0, cur_len + i].set(jnp.where(emit, t_i, old))
+            cur = jnp.where(emit, t_i, cur)
+            add = add + emit.astype(jnp.int32)
+            hit_eos = emit & (t_i == eos_id)
+            done = done | hit_eos
+            if i < chunk - 1:
+                accepting = emit & ~hit_eos & (t_i == draft[i])
+        return (cache, tokens, cur_len + add, cur, done, n_gen + add)
+
+    state = (cache, tokens, cur_len, tok, done, n_gen)
+    _, tokens, _, _, _, n_gen = jax.lax.while_loop(cond, body, state)
+    return tokens, n_gen.reshape(1)

@@ -78,12 +78,16 @@ class OCR2Pipeline:
         tokenizer,
         kv_dtype: str = "bfloat16",
         act_dtype: str = "bfloat16",
+        lookup_chunk: int = 0,
     ):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.kv_dtype = kv_dtype
         self.act_dtype = act_dtype
+        # > 0 enables prompt-lookup speculative greedy decoding with this
+        # chunk width (single-sequence, greedy only).
+        self.lookup_chunk = lookup_chunk
 
     # -- text ---------------------------------------------------------------
 
@@ -360,18 +364,36 @@ class OCR2Pipeline:
         # Host-transfer barrier (block_until_ready does not sync here).
         np.asarray(embeds[0, 0, :1])
         t1 = time.perf_counter()
-        tokens, n_gen = greedy_generate(
-            self.params["lm"],
-            cfg.lm,
-            embeds,
-            jnp.asarray(ids, jnp.int32)[None],
-            max_new_tokens=max_new_tokens,
-            ngram_size=ngram_size,
-            eos_id=eos,
-            capacity=capacity,
-            kv_dtype=self.kv_dtype,
-            **(sampling or {}),
-        )
+        if self.lookup_chunk > 0 and not sampling:
+            from .generate import lookup_greedy_generate
+
+            tokens, n_gen = lookup_greedy_generate(
+                self.params["lm"],
+                cfg.lm,
+                embeds,
+                jnp.asarray(ids, jnp.int32)[None],
+                max_new_tokens=max_new_tokens,
+                ngram_size=ngram_size,
+                eos_id=eos,
+                capacity=bucket_capacity(
+                    prompt_len + max_new_tokens + self.lookup_chunk - 1
+                ),
+                kv_dtype=self.kv_dtype,
+                chunk=self.lookup_chunk,
+            )
+        else:
+            tokens, n_gen = greedy_generate(
+                self.params["lm"],
+                cfg.lm,
+                embeds,
+                jnp.asarray(ids, jnp.int32)[None],
+                max_new_tokens=max_new_tokens,
+                ngram_size=ngram_size,
+                eos_id=eos,
+                capacity=capacity,
+                kv_dtype=self.kv_dtype,
+                **(sampling or {}),
+            )
         # Full host transfer doubles as the decode barrier.
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)

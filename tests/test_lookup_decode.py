@@ -1,0 +1,87 @@
+"""Prompt-lookup speculative greedy decoding (runtime/generate.py).
+
+Exactness contract: lookup_greedy_generate must produce the same tokens as
+plain greedy_generate (drafts are verified by the model's own picks, ban
+mask included), across ngram settings, budgets, and EOS stops.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepseek_ocr2_tpu.configs import tiny_lm_config
+from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+from deepseek_ocr2_tpu.runtime.generate import (
+    _lookup_draft,
+    greedy_generate,
+    lookup_greedy_generate,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_lm_config()
+    params = dsv2.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def _run_both(cfg, params, ids, *, chunk=4, match_n=2, **kw):
+    emb = jnp.take(params["embed"], ids, axis=0)
+    t0, n0 = greedy_generate(params, cfg, emb, ids, capacity=128, kv_dtype="float32", **kw)
+    t1, n1 = lookup_greedy_generate(
+        params, cfg, emb, ids, capacity=128, kv_dtype="float32",
+        chunk=chunk, match_n=match_n, **kw,
+    )
+    s = ids.shape[1]
+    na, nb = int(np.asarray(n0)[0]), int(np.asarray(n1)[0])
+    assert na == nb, (na, nb)
+    np.testing.assert_array_equal(
+        np.asarray(t0)[0, : s + na], np.asarray(t1)[0, : s + nb]
+    )
+    return np.asarray(t0)[0, : s + na]
+
+
+@pytest.mark.parametrize("ngram,mx,chunk", [(0, 24, 4), (3, 24, 4), (0, 7, 5), (2, 40, 2)])
+def test_lookup_matches_plain_greedy(setup, ngram, mx, chunk):
+    cfg, params = setup
+    rng = np.random.default_rng(ngram * 100 + mx)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (1, 10)), jnp.int32)
+    _run_both(
+        cfg, params, ids, max_new_tokens=mx, ngram_size=ngram, eos_id=1, chunk=chunk
+    )
+
+
+def test_lookup_eos_stop(setup):
+    """EOS appearing mid-chunk must stop generation at the same token."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (1, 10)), jnp.int32)
+    emb = jnp.take(params["embed"], ids, axis=0)
+    base, n = greedy_generate(
+        params, cfg, emb, ids, max_new_tokens=24, ngram_size=0, eos_id=1,
+        capacity=128, kv_dtype="float32",
+    )
+    gen = np.asarray(base)[0, 10 : 10 + int(np.asarray(n)[0])]
+    eos = int(gen[4])  # the 5th generated token becomes the stop token
+    out = _run_both(cfg, params, ids, max_new_tokens=24, ngram_size=0, eos_id=eos)
+    assert out[-1] == eos and len(out) <= 10 + 24
+
+
+def test_lookup_draft_finds_repetition():
+    """The draft must return the continuation of the latest prior match."""
+    hist = jnp.asarray([5, 6, 7, 8, 1, 2, 5, 6, 9, 3, 5, 6, 0, 0, 0, 0], jnp.int32)
+    cur_len = jnp.int32(12)  # suffix is [5, 6]; latest prior match at i=6
+    draft = np.asarray(_lookup_draft(hist, cur_len, 2, 3))
+    np.testing.assert_array_equal(draft, [9, 3, 5])  # tokens after hist[6:8]
+
+
+def test_lookup_accepts_on_repetitive_text(setup):
+    """Random tiny LMs cycle without an n-gram ban; the lookup loop must
+    finish in fewer forwards than tokens (i.e. drafts actually accept).
+    Proxy: exact match on a long budget with a strongly cyclic output."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    pattern = rng.integers(2, cfg.vocab_size, 4)
+    ids = jnp.asarray(np.tile(pattern, 4)[None, :], jnp.int32)  # repetitive prompt
+    _run_both(cfg, params, ids, max_new_tokens=48, ngram_size=0, eos_id=1, chunk=6)
