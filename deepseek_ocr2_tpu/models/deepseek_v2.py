@@ -1213,8 +1213,18 @@ def lm_forward_debug(params: Params, cfg: DeepseekV2Config, embeds: jnp.ndarray)
 
 
 def logits_all(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """lm_head on every position (training loss; speculative verification)."""
+    if "q8_lm_head" in params:
+        from ..ops.linear_q8 import qmm
+
+        b, s, h = hidden.shape
+        out = qmm(
+            hidden.reshape(b * s, h), params["q8_lm_head"],
+            decode=True, out_dtype=jnp.float32,
+        )
+        return out.reshape(b, s, -1)
     if "lm_head" not in params:
-        raise ValueError("logits_all (training path) requires unquantized lm_head")
+        raise ValueError("logits_all requires an lm_head (full or q8)")
     return hidden @ params["lm_head"]
 
 

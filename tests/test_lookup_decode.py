@@ -85,3 +85,12 @@ def test_lookup_accepts_on_repetitive_text(setup):
     pattern = rng.integers(2, cfg.vocab_size, 4)
     ids = jnp.asarray(np.tile(pattern, 4)[None, :], jnp.int32)  # repetitive prompt
     _run_both(cfg, params, ids, max_new_tokens=48, ngram_size=0, eos_id=1, chunk=6)
+
+
+def test_lookup_matches_plain_greedy_q8(setup):
+    """Lookup decode through the int8 path (chunked q8 FFN + attention)."""
+    cfg, params = setup
+    q8 = dsv2.quantize_lm_params(params, scope="full")
+    rng = np.random.default_rng(21)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (1, 10)), jnp.int32)
+    _run_both(cfg, q8, ids, max_new_tokens=24, ngram_size=3, eos_id=1, chunk=4)
