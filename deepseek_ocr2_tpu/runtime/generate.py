@@ -167,6 +167,7 @@ def _lookup_draft(hist, cur_len, match_n: int, draft_k: int):
         "kv_dtype",
         "chunk",
         "match_n",
+        "return_steps",
     ),
 )
 def lookup_greedy_generate(
@@ -182,9 +183,12 @@ def lookup_greedy_generate(
     kv_dtype: str = "bfloat16",
     chunk: int = 4,
     match_n: int = 2,
+    return_steps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy generation with prompt-lookup speculative decoding (single
-    sequence). Same output contract as `greedy_generate`.
+    sequence). Same output contract as `greedy_generate`; with
+    return_steps=True a third element counts decode forwards (so
+    n_gen/steps is the measured tokens-per-weight-pass).
 
     Each loop iteration feeds `chunk` embeddings — the last emitted token
     plus chunk-1 drafted continuations (the tokens that followed the most
@@ -230,11 +234,11 @@ def lookup_greedy_generate(
     n_gen = jnp.int32(1)
 
     def cond(state):
-        cache, tokens, cur_len, tok, done, n_gen = state
+        cache, tokens, cur_len, tok, done, n_gen, steps = state
         return jnp.logical_and(n_gen < max_new_tokens, ~done)
 
     def body(state):
-        cache, tokens, cur_len, tok, done, n_gen = state
+        cache, tokens, cur_len, tok, done, n_gen, steps = state
         draft = _lookup_draft(tokens[0], cur_len, match_n, chunk - 1)
         chunk_ids = jnp.concatenate([tok.reshape(1), draft])  # [chunk]
         emb = jnp.take(params["embed"], chunk_ids, axis=0).astype(
@@ -260,8 +264,10 @@ def lookup_greedy_generate(
             done = done | hit_eos
             if i < chunk - 1:
                 accepting = emit & ~hit_eos & (t_i == draft[i])
-        return (cache, tokens, cur_len + add, cur, done, n_gen + add)
+        return (cache, tokens, cur_len + add, cur, done, n_gen + add, steps + 1)
 
-    state = (cache, tokens, cur_len, tok, done, n_gen)
-    _, tokens, _, _, _, n_gen = jax.lax.while_loop(cond, body, state)
+    state = (cache, tokens, cur_len, tok, done, n_gen, jnp.int32(1))
+    _, tokens, _, _, _, n_gen, steps = jax.lax.while_loop(cond, body, state)
+    if return_steps:
+        return tokens, n_gen.reshape(1), steps
     return tokens, n_gen.reshape(1)
