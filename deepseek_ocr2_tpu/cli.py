@@ -155,7 +155,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", default=None, help="JSON model-config overrides")
     sp.add_argument("--num-hidden-layers", type=int, default=None)
     sp.add_argument(
-        "--data", required=True, help="JSONL ({'text': ...} per line) or plain text"
+        "--data",
+        required=True,
+        help="JSONL per line: {'text': ...} packed LM loss, or "
+        "{'prompt': ..., 'completion': ...} masked SFT loss; plain text also works",
     )
     sp.add_argument("--steps", type=int, default=100)
     sp.add_argument("--batch-size", type=int, default=4)
@@ -593,6 +596,7 @@ def cmd_train(args) -> int:
     from .io import DtypePolicy, load_flat, save_flat
     from .models import deepseek_v2 as dsv2
     from .runtime.train import (
+        adamw_sft_train_step,
         adamw_train_step,
         init_opt_state,
         load_train_state,
@@ -628,42 +632,87 @@ def cmd_train(args) -> int:
 
     tokenizer = load_tokenizer(args.tokenizer)
     stream = []
+    sft_examples = []
     with open(args.data) as f:
         for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line:
                 continue
+            sft = None
             if line.startswith("{"):
                 try:
                     obj = json.loads(line)
                 except json.JSONDecodeError:
                     text = line
                 else:
-                    text = obj.get("text")
-                    if not isinstance(text, str):
-                        raise SystemExit(
-                            f"error: {args.data}:{lineno}: JSONL line has no "
-                            f'string "text" field (keys: {sorted(obj)})'
-                        )
+                    if isinstance(obj.get("prompt"), str) and isinstance(
+                        obj.get("completion"), str
+                    ):
+                        sft = (obj["prompt"], obj["completion"])
+                        text = None
+                    else:
+                        text = obj.get("text")
+                        if not isinstance(text, str):
+                            raise SystemExit(
+                                f"error: {args.data}:{lineno}: JSONL line has "
+                                'neither a string "text" field nor '
+                                '"prompt"+"completion" fields '
+                                f"(keys: {sorted(obj)})"
+                            )
             else:
                 text = line
-            stream.extend(tokenizer.encode(text, add_special_tokens=False).ids)
-            stream.append(args.eos_token_id)
-    if not stream:
-        raise SystemExit(f"error: no tokens in {args.data}")
-    stream_np = np.asarray(stream, np.int32)
-    bs = args.batch_size * args.seq_len
-    cycled = args.steps * bs > len(stream_np)
+            if sft is not None:
+                # SFT example: loss on the completion + EOS only.
+                p_ids = tokenizer.encode(sft[0], add_special_tokens=False).ids
+                c_ids = tokenizer.encode(sft[1], add_special_tokens=False).ids
+                ex = (p_ids + c_ids + [args.eos_token_id])[: args.seq_len]
+                m = ([0] * len(p_ids) + [1] * (len(c_ids) + 1))[: args.seq_len]
+                pad = args.seq_len - len(ex)
+                sft_examples.append(
+                    (
+                        np.asarray(ex + [0] * pad, np.int32),
+                        np.asarray(m + [0] * pad, np.float32),
+                    )
+                )
+            else:
+                stream.extend(tokenizer.encode(text, add_special_tokens=False).ids)
+                stream.append(args.eos_token_id)
+    if stream and sft_examples:
+        raise SystemExit(
+            f"error: {args.data} mixes 'text' and 'prompt'/'completion' lines"
+        )
+    if sft_examples:
+        ex_ids = np.stack([e[0] for e in sft_examples])  # [N, seq]
+        ex_mask = np.stack([e[1] for e in sft_examples])
+        n_ex = len(sft_examples)
+        cycled = args.steps * args.batch_size > n_ex
 
-    def batch_at(step: int) -> np.ndarray:
-        idx = (np.arange(bs, dtype=np.int64) + step * bs) % len(stream_np)
-        return stream_np[idx].reshape(args.batch_size, args.seq_len)
+        def batch_at(step: int):
+            idx = (np.arange(args.batch_size) + step * args.batch_size) % n_ex
+            return ex_ids[idx], ex_mask[idx]
 
-    print(
-        f"dataset: {len(stream_np)} tokens -> {args.steps} steps of "
-        f"[{args.batch_size}, {args.seq_len}]" + (" (cycled)" if cycled else ""),
-        file=sys.stderr,
-    )
+        print(
+            f"dataset: {n_ex} prompt/completion examples -> {args.steps} steps "
+            f"of [{args.batch_size}, {args.seq_len}] (masked SFT loss)"
+            + (" (cycled)" if cycled else ""),
+            file=sys.stderr,
+        )
+    else:
+        if not stream:
+            raise SystemExit(f"error: no tokens in {args.data}")
+        stream_np = np.asarray(stream, np.int32)
+        bs = args.batch_size * args.seq_len
+        cycled = args.steps * bs > len(stream_np)
+
+        def batch_at(step: int):
+            idx = (np.arange(bs, dtype=np.int64) + step * bs) % len(stream_np)
+            return stream_np[idx].reshape(args.batch_size, args.seq_len), None
+
+        print(
+            f"dataset: {len(stream_np)} tokens -> {args.steps} steps of "
+            f"[{args.batch_size}, {args.seq_len}]" + (" (cycled)" if cycled else ""),
+            file=sys.stderr,
+        )
 
     mesh = None
     if args.mesh:
@@ -709,13 +758,22 @@ def cmd_train(args) -> int:
 
     t0 = time.perf_counter()
     for step in range(start_step, args.steps):
-        batch = jnp.asarray(batch_at(step))
+        ids_np, mask_np = batch_at(step)
+        batch = jnp.asarray(ids_np)
+        mask = jnp.asarray(mask_np) if mask_np is not None else None
         if mesh is not None:
             batch = jax.device_put(batch, batch_sharding)
+            if mask is not None:
+                mask = jax.device_put(mask, batch_sharding)
         with mesh if mesh is not None else contextlib.nullcontext():
-            params, opt_state, loss = adamw_train_step(
-                params, opt_state, lm_cfg, batch, tx
-            )
+            if mask is not None:
+                params, opt_state, loss = adamw_sft_train_step(
+                    params, opt_state, lm_cfg, batch, mask, tx
+                )
+            else:
+                params, opt_state, loss = adamw_train_step(
+                    params, opt_state, lm_cfg, batch, tx
+                )
         loss_v = float(np.asarray(jax.device_get(loss)))  # also the step barrier
         dt = time.perf_counter() - t0
         t0 = time.perf_counter()

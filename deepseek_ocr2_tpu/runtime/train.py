@@ -41,6 +41,41 @@ def lm_loss(params, cfg: DeepseekV2Config, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(loss)
 
 
+def lm_loss_masked(
+    params, cfg: DeepseekV2Config, ids: jnp.ndarray, loss_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Next-token CE restricted to positions where loss_mask is 1 (SFT:
+    train on the completion, not the prompt or padding)."""
+    b, s = ids.shape
+    embeds = jnp.take(params["embed"], ids, axis=0)
+    cache = make_kv_cache(
+        cfg.num_hidden_layers,
+        b,
+        cfg.num_attention_heads,
+        s,
+        cfg.head_dim,
+        dtype=embeds.dtype,
+    )
+    hidden, _ = lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+    logits = logits_all(params, hidden).astype(jnp.float32)
+    m = loss_mask[:, 1:].astype(jnp.float32)
+    targets = jnp.where(m > 0, ids[:, 1:], 0)  # pad ids may be out-of-vocab
+    per_tok = optax.softmax_cross_entropy_with_integer_labels(logits[:, :-1], targets)
+    return jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+def adamw_sft_train_step(
+    params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, loss_mask, tx
+):
+    """One AdamW step on (prompt, completion) pairs with masked loss."""
+    with no_prefill_lift():
+        loss, grads = jax.value_and_grad(lm_loss_masked)(params, cfg, ids, loss_mask)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def sgd_train_step(
     params, cfg: DeepseekV2Config, ids: jnp.ndarray, lr: float = 1e-4

@@ -182,3 +182,33 @@ def test_train_cli_mesh(assets, tmp_path):
     assert "mesh: dp=4 mp=2 (8 devices)" in r.stdout
     losses = _losses(r.stdout)
     assert len(losses) == 3 and losses[-1] < losses[0], losses
+
+
+def test_train_cli_sft_masked(assets, tmp_path):
+    """prompt/completion JSONL selects the masked SFT loss; loss falls."""
+    import json
+
+    data = tmp_path / "sft.jsonl"
+    with open(data, "w") as f:
+        for p_, c_ in [("Free OCR.", "hello hello Free"), ("hello", "Free OCR.")]:
+            f.write(json.dumps({"prompt": p_, "completion": c_}) + "\n")
+    r = _train(
+        assets,
+        ["--steps", "4", "--data", str(data)],  # later --data wins in argparse
+    )
+    assert r.returncode == 0, r.stdout
+    assert "masked SFT loss" in r.stdout
+    losses = _losses(r.stdout)
+    assert len(losses) == 4 and losses[-1] < losses[0], losses
+
+
+def test_train_cli_mixed_formats_rejected(assets, tmp_path):
+    import json
+
+    data = tmp_path / "mixed.jsonl"
+    with open(data, "w") as f:
+        f.write(json.dumps({"text": "hello"}) + "\n")
+        f.write(json.dumps({"prompt": "a", "completion": "b"}) + "\n")
+    r = _train(assets, ["--steps", "1", "--data", str(data)])
+    assert r.returncode != 0
+    assert "mixes" in r.stdout
