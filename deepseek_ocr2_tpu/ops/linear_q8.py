@@ -21,8 +21,7 @@ f32/f16, main.rs:1361-1385); this is a beyond-reference serving optimization.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

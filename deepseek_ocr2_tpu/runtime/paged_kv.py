@@ -25,7 +25,6 @@ from ..configs import DeepseekV2Config
 from ..ops.moe import moe_ffn_decode, route, swiglu
 from ..ops.norms import rms_norm
 from ..ops.paged_attention import (
-    paged_decode_attention,
     paged_decode_attention_pool,
     paged_decode_attention_xla,
 )
