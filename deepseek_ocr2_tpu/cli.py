@@ -167,6 +167,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--weight-decay", type=float, default=0.01)
     sp.add_argument("--clip-norm", type=float, default=1.0)
     sp.add_argument(
+        "--remat",
+        action="store_true",
+        help="rematerialize MoE layers in the backward (min activation "
+        "memory; ~1 extra forward of FLOPs)",
+    )
+    sp.add_argument(
         "--grad-accum",
         type=int,
         default=1,
@@ -768,11 +774,11 @@ def cmd_train(args) -> int:
         with mesh if mesh is not None else contextlib.nullcontext():
             if mask is not None:
                 params, opt_state, loss = adamw_sft_train_step(
-                    params, opt_state, lm_cfg, batch, mask, tx
+                    params, opt_state, lm_cfg, batch, mask, tx, remat=args.remat
                 )
             else:
                 params, opt_state, loss = adamw_train_step(
-                    params, opt_state, lm_cfg, batch, tx
+                    params, opt_state, lm_cfg, batch, tx, remat=args.remat
                 )
         loss_v = float(np.asarray(jax.device_get(loss)))  # also the step barrier
         dt = time.perf_counter() - t0

@@ -538,6 +538,7 @@ def lm_forward(
     cache,  # KVCache dict: k/v [L, B, Hh, cap, D]
     pos=0,  # scalar: absolute position of embeds[:, 0]
     is_prefill: bool = True,
+    remat: bool = False,  # rematerialize MoE layers (training memory)
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the decoder stack. Returns (hidden [B,S,H], updated cache).
 
@@ -639,7 +640,14 @@ def lm_forward(
             moe_layers, embeds.shape[0] * embeds.shape[1], cfg
         )
     moe_xs = (moe_layers, jnp.arange(ld, cfg.num_hidden_layers))
-    (x, k_all, v_all), _ = jax.lax.scan(moe_layer_body, (x, k_all, v_all), moe_xs)
+    body = moe_layer_body
+    if remat and is_prefill:
+        # Per-layer rematerialization: backward recomputes each MoE layer's
+        # activations instead of saving them — trades ~1 extra forward of
+        # FLOPs for O(1-layer) activation memory, enabling long-seq
+        # fine-tuning on one chip.
+        body = jax.checkpoint(moe_layer_body)
+    (x, k_all, v_all), _ = jax.lax.scan(body, (x, k_all, v_all), moe_xs)
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return hidden, {"k": k_all, "v": v_all}

@@ -20,7 +20,9 @@ from ..models.deepseek_v2 import lm_forward, logits_all, no_prefill_lift
 from .kv_cache import make_kv_cache
 
 
-def lm_loss(params, cfg: DeepseekV2Config, ids: jnp.ndarray) -> jnp.ndarray:
+def lm_loss(
+    params, cfg: DeepseekV2Config, ids: jnp.ndarray, remat: bool = False
+) -> jnp.ndarray:
     """Next-token cross-entropy over [B, S] token ids (f32 loss math)."""
     b, s = ids.shape
     embeds = jnp.take(params["embed"], ids, axis=0)
@@ -32,7 +34,9 @@ def lm_loss(params, cfg: DeepseekV2Config, ids: jnp.ndarray) -> jnp.ndarray:
         cfg.head_dim,
         dtype=embeds.dtype,
     )
-    hidden, _ = lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+    hidden, _ = lm_forward(
+        params, cfg, embeds, cache, pos=0, is_prefill=True, remat=remat
+    )
     logits = logits_all(params, hidden).astype(jnp.float32)  # [B, S, V]
     targets = ids[:, 1:]
     loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -42,7 +46,11 @@ def lm_loss(params, cfg: DeepseekV2Config, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def lm_loss_masked(
-    params, cfg: DeepseekV2Config, ids: jnp.ndarray, loss_mask: jnp.ndarray
+    params,
+    cfg: DeepseekV2Config,
+    ids: jnp.ndarray,
+    loss_mask: jnp.ndarray,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Next-token CE restricted to positions where loss_mask is 1 (SFT:
     train on the completion, not the prompt or padding)."""
@@ -56,7 +64,9 @@ def lm_loss_masked(
         cfg.head_dim,
         dtype=embeds.dtype,
     )
-    hidden, _ = lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+    hidden, _ = lm_forward(
+        params, cfg, embeds, cache, pos=0, is_prefill=True, remat=remat
+    )
     logits = logits_all(params, hidden).astype(jnp.float32)
     m = loss_mask[:, 1:].astype(jnp.float32)
     targets = jnp.where(m > 0, ids[:, 1:], 0)  # pad ids may be out-of-vocab
@@ -64,13 +74,18 @@ def lm_loss_masked(
     return jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tx", "remat"), donate_argnums=(0, 1)
+)
 def adamw_sft_train_step(
-    params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, loss_mask, tx
+    params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, loss_mask, tx,
+    remat: bool = False,
 ):
     """One AdamW step on (prompt, completion) pairs with masked loss."""
     with no_prefill_lift():
-        loss, grads = jax.value_and_grad(lm_loss_masked)(params, cfg, ids, loss_mask)
+        loss, grads = jax.value_and_grad(lm_loss_masked)(
+            params, cfg, ids, loss_mask, remat
+        )
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
@@ -239,9 +254,12 @@ def load_train_state(path: str, params_template, opt_state_template):
     return params, opt_state, int(np.asarray(flat["step"]).reshape(())[()])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tx", "remat"), donate_argnums=(0, 1)
+)
 def adamw_train_step(
-    params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, tx
+    params, opt_state, cfg: DeepseekV2Config, ids: jnp.ndarray, tx,
+    remat: bool = False,
 ) -> Tuple[dict, object, jnp.ndarray]:
     """One AdamW step; returns (new_params, new_opt_state, loss).
 
@@ -250,7 +268,7 @@ def adamw_train_step(
     donated so the update is in-place at XLA level.
     """
     with no_prefill_lift():  # backward must see unstacked experts (scan xs)
-        loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids)
+        loss, grads = jax.value_and_grad(lm_loss)(params, cfg, ids, remat)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss

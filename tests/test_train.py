@@ -184,3 +184,20 @@ def test_ocr_train_step_reduces_loss_and_trains_towers():
         )
     assert np.isfinite(first) and np.isfinite(float(loss))
     assert float(loss) < first, (first, float(loss))
+
+
+def test_remat_matches_plain_backward():
+    """jax.checkpoint on the MoE scan body must not change loss or grads."""
+    cfg = tiny_lm_config(num_hidden_layers=3)
+    params = dsv2.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 20)), jnp.int32)
+
+    from deepseek_ocr2_tpu.models.deepseek_v2 import no_prefill_lift
+
+    with no_prefill_lift():
+        l0, g0 = jax.value_and_grad(lm_loss)(params, cfg, ids, False)
+        l1, g1 = jax.value_and_grad(lm_loss)(params, cfg, ids, True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
