@@ -165,6 +165,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--seq-len", type=int, default=512)
     sp.add_argument("--lr", type=float, default=1e-5)
     sp.add_argument("--weight-decay", type=float, default=0.01)
+    sp.add_argument(
+        "--lr-schedule", choices=["constant", "cosine"], default="constant"
+    )
+    sp.add_argument("--warmup-steps", type=int, default=0)
+    sp.add_argument(
+        "--log-file", default=None, help="append per-step JSONL metrics here"
+    )
     sp.add_argument("--clip-norm", type=float, default=1.0)
     sp.add_argument(
         "--remat",
@@ -739,6 +746,9 @@ def cmd_train(args) -> int:
         weight_decay=args.weight_decay,
         clip_norm=args.clip_norm,
         grad_accum=args.grad_accum,
+        schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.steps,
     )
     start_step = 0
     if args.resume:
@@ -784,6 +794,14 @@ def cmd_train(args) -> int:
         dt = time.perf_counter() - t0
         t0 = time.perf_counter()
         print(f"step {step + 1}/{args.steps}  loss {loss_v:.4f}  {dt * 1e3:.0f} ms")
+        if args.log_file:
+            with open(args.log_file, "a") as lf:
+                lf.write(
+                    json.dumps(
+                        {"step": step + 1, "loss": loss_v, "ms": round(dt * 1e3, 1)}
+                    )
+                    + "\n"
+                )
         if args.state_out and args.save_every and (step + 1) % args.save_every == 0:
             save_train_state(args.state_out, params, opt_state, step + 1)
             print(f"  saved {args.state_out}", file=sys.stderr)

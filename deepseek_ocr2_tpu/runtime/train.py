@@ -113,15 +113,34 @@ def make_optimizer(
     b2: float = 0.95,
     clip_norm: float = 1.0,
     grad_accum: int = 1,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int = 0,
 ):
     """AdamW with global-norm clipping (the fine-tuning default).
 
     grad_accum > 1 wraps in optax.MultiSteps: each train step contributes
     one micro-batch gradient; params update every grad_accum-th step with
-    the averaged gradient (equivalent to a grad_accum-times-larger batch)."""
+    the averaged gradient (equivalent to a grad_accum-times-larger batch).
+    schedule: "constant" (optional linear warmup) or "cosine" (warmup ->
+    peak lr -> cosine decay to lr/10 over total_steps optimizer updates).
+    """
+    if schedule == "cosine":
+        assert total_steps > 0, "cosine schedule needs total_steps"
+        lr_s = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else lr,
+            peak_value=lr,
+            warmup_steps=warmup_steps,
+            decay_steps=max(total_steps, warmup_steps + 1),
+            end_value=lr * 0.1,
+        )
+    elif warmup_steps:
+        lr_s = optax.linear_schedule(0.0, lr, warmup_steps)
+    else:
+        lr_s = lr
     tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay),
+        optax.adamw(lr_s, b1=b1, b2=b2, weight_decay=weight_decay),
     )
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
