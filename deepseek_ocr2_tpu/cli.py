@@ -477,6 +477,12 @@ def cmd_generate_ocr(args) -> int:
 def cmd_serve(args) -> int:
     pipe, cfg = _load_ocr_pipeline(args)
     sampling = _sampling_args(args)
+    if getattr(args, "lookup_decode", 0):
+        print(
+            "note: --lookup-decode applies to single-sequence generate-ocr/"
+            "generate-text; the batched serve engines ignore it",
+            file=sys.stderr,
+        )
     if args.continuous:
         from .runtime.continuous import ContinuousOCREngine
 
