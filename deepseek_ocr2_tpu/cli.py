@@ -523,6 +523,11 @@ def cmd_serve(args) -> int:
 
 
 def cmd_validate_hf(args) -> int:
+    if getattr(args, "lookup_decode", 0):
+        # HF validation must run the canonical 1-token greedy path:
+        # speculative chunks round GEMMs at a different width.
+        print("note: --lookup-decode is ignored for validate-hf", file=sys.stderr)
+        args.lookup_decode = 0
     """Golden-token harness for real-checkpoint bring-up (SURVEY.md §4).
 
     With --emit: runs greedy OCR with the fingerprint channels forced on and
@@ -684,6 +689,12 @@ def cmd_train(args) -> int:
                 # SFT example: loss on the completion + EOS only.
                 p_ids = tokenizer.encode(sft[0], add_special_tokens=False).ids
                 c_ids = tokenizer.encode(sft[1], add_special_tokens=False).ids
+                if len(p_ids) >= args.seq_len:
+                    raise SystemExit(
+                        f"error: {args.data}:{lineno}: prompt alone is "
+                        f"{len(p_ids)} tokens >= --seq-len {args.seq_len}; "
+                        "no completion tokens would carry loss"
+                    )
                 ex = (p_ids + c_ids + [args.eos_token_id])[: args.seq_len]
                 m = ([0] * len(p_ids) + [1] * (len(c_ids) + 1))[: args.seq_len]
                 pad = args.seq_len - len(ex)

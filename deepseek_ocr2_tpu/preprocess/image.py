@@ -178,8 +178,7 @@ def images_to_nchw(imgs: Sequence[Image.Image]) -> np.ndarray:
     bit-identical values (same f32 op sequence per element). The host
     pixel path bounds crop-mode throughput, so these milliseconds are
     end-to-end milliseconds."""
-    a0 = np.asarray(imgs[0] if imgs[0].mode == "RGB" else imgs[0].convert("RGB"))
-    h, w, _ = a0.shape
+    w, h = imgs[0].size
     out = np.empty((len(imgs), 3, h, w), np.float32)
     for i, im in enumerate(imgs):
         a = np.asarray(im if im.mode == "RGB" else im.convert("RGB"))

@@ -364,7 +364,7 @@ class OCR2Pipeline:
         # Host-transfer barrier (block_until_ready does not sync here).
         np.asarray(embeds[0, 0, :1])
         t1 = time.perf_counter()
-        if self.lookup_chunk > 0 and not sampling:
+        if self.lookup_chunk > 1 and not sampling:  # chunk 1 == plain greedy
             from .generate import lookup_greedy_generate
 
             tokens, n_gen = lookup_greedy_generate(

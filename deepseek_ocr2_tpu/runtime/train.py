@@ -123,8 +123,13 @@ def make_optimizer(
     one micro-batch gradient; params update every grad_accum-th step with
     the averaged gradient (equivalent to a grad_accum-times-larger batch).
     schedule: "constant" (optional linear warmup) or "cosine" (warmup ->
-    peak lr -> cosine decay to lr/10 over total_steps optimizer updates).
+    peak lr -> cosine decay to lr/10 over total_steps TRAIN steps —
+    converted to optimizer updates internally, since MultiSteps advances
+    the schedule only once per accumulated update).
     """
+    if grad_accum > 1:
+        warmup_steps = -(-warmup_steps // grad_accum) if warmup_steps else 0
+        total_steps = -(-total_steps // grad_accum) if total_steps else 0
     if schedule == "cosine":
         assert total_steps > 0, "cosine schedule needs total_steps"
         lr_s = optax.warmup_cosine_decay_schedule(
