@@ -371,4 +371,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU occasionally drops mid-run (libtpu upgrades, tunnel
+    # resets); a transient failure should not cost the whole bench artifact.
+    import time as _time
+    import traceback as _tb
+
+    for _attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            _tb.print_exc()
+            if _attempt == 2:
+                raise
+            print(f"bench attempt {_attempt + 1} failed; retrying in 120 s", flush=True)
+            _time.sleep(120)
