@@ -477,10 +477,10 @@ def cmd_generate_ocr(args) -> int:
 def cmd_serve(args) -> int:
     pipe, cfg = _load_ocr_pipeline(args)
     sampling = _sampling_args(args)
-    if getattr(args, "lookup_decode", 0):
+    if getattr(args, "lookup_decode", 0) and args.continuous:
         print(
-            "note: --lookup-decode applies to single-sequence generate-ocr/"
-            "generate-text; the batched serve engines ignore it",
+            "note: --lookup-decode applies to generate-ocr/generate-text and "
+            "the group-batched serve engine; the continuous engine ignores it",
             file=sys.stderr,
         )
     if args.continuous:

@@ -787,10 +787,11 @@ def _attention_decode_pool(
     is streamed once per step and never duplicated. Same math as the slice
     strategy (f32 RoPE/softmax per reference deepseek_v2.rs:319-324).
 
-    Chunk mode (s > 1, scalar pos — speculative-decode verification): the
-    s draft tokens write at pos..pos+s-1 in the same one
-    dynamic_update_slice, and query j's mask extends to pos+j so each
-    draft position sees exactly its causal prefix.
+    Chunk mode (s > 1 — speculative-decode verification): the s draft
+    tokens write at pos..pos+s-1 (one dynamic_update_slice for a shared
+    scalar pos; a per-(row, step) scatter for ragged [B] positions), and
+    query j's mask extends to its row's pos+j so each draft position sees
+    exactly its causal prefix.
     """
     b, s, h = x.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
@@ -799,7 +800,10 @@ def _attention_decode_pool(
     q, k, v = _qkv_proj(x, attn, b, s, nh, d, decode=True)
     li = jnp.asarray(li, jnp.int32)
     pos_arr = jnp.asarray(pos, jnp.int32)
-    assert s == 1 or pos_arr.ndim == 0, "chunk decode requires a shared position"
+
+    def rot(t):
+        half = t.shape[-1] // 2
+        return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
 
     if pos_arr.ndim == 0:
         q32, k32 = apply_rope(q, k, cos, sin, start=pos_arr)
@@ -810,36 +814,40 @@ def _attention_decode_pool(
         v_all = jax.lax.dynamic_update_slice(
             v_all, v32.astype(kv_dtype)[None], (li, 0, 0, pos_arr, 0)
         )
-        pos_b = jnp.broadcast_to(pos_arr.reshape(1), (b,))
+        posq = pos_arr + jnp.arange(s)[None, :]  # [1, S] query positions
     else:
-        # Per-slot RoPE + scatter (continuous batching).
-        cos_b = jnp.take(cos, pos_arr, axis=0)[:, None, None, :]  # [B,1,1,D]
-        sin_b = jnp.take(sin, pos_arr, axis=0)[:, None, None, :]
+        # Per-slot RoPE + scatter (continuous batching / ragged chunks).
+        posq = pos_arr[:, None] + jnp.arange(s)[None, :]  # [B, S]
+        cos_b = jnp.take(cos, posq, axis=0)[:, None]  # [B, 1, S, D]
+        sin_b = jnp.take(sin, posq, axis=0)[:, None]
         q32 = q.astype(jnp.float32)
         k32 = k.astype(jnp.float32)
-
-        def rot(t):
-            half = t.shape[-1] // 2
-            return jnp.concatenate([-t[..., half:], t[..., :half]], axis=-1)
-
         q32 = q32 * cos_b + rot(q32) * sin_b
         k32 = k32 * cos_b + rot(k32) * sin_b
         v32 = v.astype(jnp.float32)
         rows = jnp.arange(b)
-        k_all = k_all.at[li, rows, :, pos_arr, :].set(k32[:, :, 0, :].astype(kv_dtype))
-        v_all = v_all.at[li, rows, :, pos_arr, :].set(v32[:, :, 0, :].astype(kv_dtype))
-        pos_b = pos_arr
+        if s == 1:
+            k_all = k_all.at[li, rows, :, pos_arr, :].set(
+                k32[:, :, 0, :].astype(kv_dtype)
+            )
+            v_all = v_all.at[li, rows, :, pos_arr, :].set(
+                v32[:, :, 0, :].astype(kv_dtype)
+            )
+        else:
+            # [B, S] (row, position) scatter; values ordered [B, S, Hh, D].
+            k_all = k_all.at[li, rows[:, None], :, posq, :].set(
+                k32.transpose(0, 2, 1, 3).astype(kv_dtype)
+            )
+            v_all = v_all.at[li, rows[:, None], :, posq, :].set(
+                v32.transpose(0, 2, 1, 3).astype(kv_dtype)
+            )
 
     ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
     cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
     cap = ck.shape[2]
-    if s == 1:
-        mask = (jnp.arange(cap)[None, :] > pos_b[:, None])[:, None, None, :]
-    else:
-        # Per-query causal budget: query j (at pos+j) sees keys <= pos+j.
-        mask = (
-            jnp.arange(cap)[None, :] > (pos_arr + jnp.arange(s))[:, None]
-        )[None, None]  # [1, 1, S, cap]
+    # Per-query causal budget: query j of row b (at posq[b, j]) sees keys
+    # <= posq[b, j]. Broadcasts over rows when pos was a shared scalar.
+    mask = jnp.arange(cap)[None, None, None, :] > posq[:, None, :, None]
     ctx = sdpa(
         q32, ck, cv, scale=1.0 / math.sqrt(d), mask=mask, out_dtype=jnp.float32
     )

@@ -125,18 +125,35 @@ class OCR2Engine:
 
         prompt_len = len(ids)
         capacity = bucket_capacity(prompt_len + max_new_tokens)
-        tokens, n_gen = greedy_generate(
-            self.pipe.params["lm"],
-            cfg.lm,
-            embeds,
-            ids_arr,
-            max_new_tokens=max_new_tokens,
-            ngram_size=ngram_size,
-            eos_id=cfg.eos_token_id,
-            capacity=capacity,
-            kv_dtype=self.pipe.kv_dtype,
-            **(sampling or {}),
-        )
+        lookup = getattr(self.pipe, "lookup_chunk", 0)
+        if lookup > 1 and not sampling:
+            from .generate import lookup_greedy_generate_batched
+
+            tokens, n_gen = lookup_greedy_generate_batched(
+                self.pipe.params["lm"],
+                cfg.lm,
+                embeds,
+                ids_arr,
+                max_new_tokens=max_new_tokens,
+                ngram_size=ngram_size,
+                eos_id=cfg.eos_token_id,
+                capacity=bucket_capacity(prompt_len + max_new_tokens + lookup - 1),
+                kv_dtype=self.pipe.kv_dtype,
+                chunk=lookup,
+            )
+        else:
+            tokens, n_gen = greedy_generate(
+                self.pipe.params["lm"],
+                cfg.lm,
+                embeds,
+                ids_arr,
+                max_new_tokens=max_new_tokens,
+                ngram_size=ngram_size,
+                eos_id=cfg.eos_token_id,
+                capacity=capacity,
+                kv_dtype=self.pipe.kv_dtype,
+                **(sampling or {}),
+            )
         tokens = np.asarray(jax.block_until_ready(tokens))
         n_gen = np.asarray(n_gen)
         t2 = time.perf_counter()

@@ -271,3 +271,113 @@ def lookup_greedy_generate(
     if return_steps:
         return tokens, n_gen.reshape(1), steps
     return tokens, n_gen.reshape(1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "ngram_size",
+        "eos_id",
+        "capacity",
+        "kv_dtype",
+        "chunk",
+        "match_n",
+        "return_steps",
+    ),
+)
+def lookup_greedy_generate_batched(
+    params,
+    cfg: DeepseekV2Config,
+    inputs_embeds: jnp.ndarray,  # [B, S, H] (shared prompt length)
+    prompt_ids: jnp.ndarray,  # [B, S] i32
+    *,
+    max_new_tokens: int,
+    ngram_size: int = 0,
+    eos_id: int = 1,
+    capacity: int = 2048,
+    kv_dtype: str = "bfloat16",
+    chunk: int = 4,
+    match_n: int = 2,
+    return_steps: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched prompt-lookup speculative greedy decoding.
+
+    Rows share the prompt length but accept independently, so each row
+    carries its own length; the chunk forward runs with per-row (ragged)
+    positions. Output contract matches `greedy_generate` (row b's tokens =
+    prompt + its generated ids; finished rows freeze). Per-row outputs are
+    greedy-exact up to chunk-width GEMM rounding.
+    """
+    b, s, h = inputs_embeds.shape
+    assert s + max_new_tokens + chunk - 1 <= capacity, "capacity too small"
+    assert chunk >= 2 and match_n >= 1
+    if prompt_ids.ndim == 1:
+        prompt_ids = prompt_ids[None]
+    vocab = vocab_size_of(params)
+    t_buf = s + max_new_tokens
+    rows = jnp.arange(b)
+
+    cache = make_kv_cache(
+        cfg.num_hidden_layers,
+        b,
+        cfg.num_attention_heads,
+        capacity,
+        cfg.head_dim,
+        dtype=jnp.dtype(kv_dtype),
+    )
+
+    hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)
+    logits0 = logits_last(params, hidden)  # [B, V]
+
+    tokens = jnp.zeros((b, t_buf), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    ban_fn = jax.vmap(ngram_ban_mask, in_axes=(0, 0, None, None))
+    draft_fn = jax.vmap(_lookup_draft, in_axes=(0, 0, None, None))
+
+    len0 = jnp.full((b,), s, jnp.int32)
+    tok = jax.vmap(greedy_pick)(logits0, ban_fn(tokens, len0, ngram_size, vocab))
+    done = tok == eos_id
+    tokens = tokens.at[:, s].set(tok)
+    cur_len = len0 + 1
+    n_gen = jnp.ones((b,), jnp.int32)
+
+    def cond(state):
+        cache, tokens, cur_len, tok, done, n_gen, steps = state
+        return jnp.any(~done & (n_gen < max_new_tokens))
+
+    def body(state):
+        cache, tokens, cur_len, tok, done, n_gen, steps = state
+        draft = draft_fn(tokens, cur_len, match_n, chunk - 1)  # [B, chunk-1]
+        chunk_ids = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, chunk]
+        emb = jnp.take(params["embed"], chunk_ids, axis=0).astype(inputs_embeds.dtype)
+        hidden, cache = lm_forward(
+            params, cfg, emb, cache, pos=cur_len - 1, is_prefill=False
+        )
+        logits = logits_all(params, hidden)  # [B, chunk, V]
+
+        accepting = ~done
+        cur = tok
+        add = jnp.zeros((b,), jnp.int32)
+        for i in range(chunk):
+            ban = ban_fn(tokens, cur_len + i, ngram_size, vocab)
+            t_i = jax.vmap(greedy_pick)(logits[:, i], ban)  # [B]
+            emit = accepting & (n_gen + add < max_new_tokens)
+            wpos = cur_len + i  # in range whenever emit (budget gate)
+            old = tokens[rows, wpos]
+            tokens = tokens.at[rows, wpos].set(jnp.where(emit, t_i, old))
+            cur = jnp.where(emit, t_i, cur)
+            add = add + emit.astype(jnp.int32)
+            hit_eos = emit & (t_i == eos_id)
+            done = done | hit_eos
+            if i < chunk - 1:
+                accepting = emit & ~hit_eos & (t_i == draft[:, i])
+        return (cache, tokens, cur_len + add, cur, done, n_gen + add, steps + 1)
+
+    state = (cache, tokens, cur_len, tok, done, n_gen, jnp.int32(1))
+    _, tokens, _, _, _, n_gen, steps = jax.lax.while_loop(cond, body, state)
+    if return_steps:
+        return tokens, n_gen, steps
+    return tokens, n_gen

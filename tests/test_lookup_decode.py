@@ -94,3 +94,39 @@ def test_lookup_matches_plain_greedy_q8(setup):
     rng = np.random.default_rng(21)
     ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (1, 10)), jnp.int32)
     _run_both(cfg, q8, ids, max_new_tokens=24, ngram_size=3, eos_id=1, chunk=4)
+
+
+def test_batched_lookup_matches_plain_greedy(setup):
+    """Per-row ragged acceptance must reproduce batched greedy exactly,
+    including rows that hit EOS at different steps."""
+    from deepseek_ocr2_tpu.runtime.generate import lookup_greedy_generate_batched
+
+    cfg, params = setup
+    rng = np.random.default_rng(13)
+    b = 4
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (b, 10)), jnp.int32)
+    emb = jnp.take(params["embed"], ids, axis=0)
+    base, n0 = greedy_generate(
+        params, cfg, emb, ids, max_new_tokens=24, ngram_size=3, eos_id=1,
+        capacity=128, kv_dtype="float32",
+    )
+    # Pick an eos id that appears mid-stream for some row, to force
+    # different stop steps across the batch.
+    gen = np.asarray(base)[:, 10:]
+    eos = int(gen[1, 5])
+
+    t0, n0 = greedy_generate(
+        params, cfg, emb, ids, max_new_tokens=24, ngram_size=3, eos_id=eos,
+        capacity=128, kv_dtype="float32",
+    )
+    t1, n1 = lookup_greedy_generate_batched(
+        params, cfg, emb, ids, max_new_tokens=24, ngram_size=3, eos_id=eos,
+        capacity=128, kv_dtype="float32", chunk=4,
+    )
+    n0, n1 = np.asarray(n0), np.asarray(n1)
+    np.testing.assert_array_equal(n0, n1)
+    a, b_ = np.asarray(t0), np.asarray(t1)
+    for r in range(b):
+        np.testing.assert_array_equal(
+            a[r, : 10 + n0[r]], b_[r, : 10 + n1[r]], err_msg=f"row {r}"
+        )
