@@ -66,3 +66,34 @@ def test_q8_sharded_decode_token_exact(setup, scope):
         got_tok, got_n = _decode(sharded, cfg, ids)
     assert np.array_equal(got_n, want_n)
     assert np.array_equal(got_tok, want_tok)
+
+
+def test_sharded_batched_lookup_token_exact(setup):
+    """Batched prompt-lookup decode (ragged chunk attention: per-(row,step)
+    KV scatter + per-row causal masks) under the (4,2) mesh must match the
+    same q8 params unsharded — GSPMD partitioning changes nothing."""
+    from deepseek_ocr2_tpu.runtime.generate import lookup_greedy_generate_batched
+
+    cfg, params, ids = setup
+    params_q8 = dsv2.quantize_lm_params(params, scope="full")
+
+    def _lookup(p, ids_):
+        embeds = jnp.take(p["embed"], ids_, axis=0)
+        t, n = lookup_greedy_generate_batched(
+            p, cfg, embeds, ids_,
+            max_new_tokens=6, ngram_size=3, eos_id=1, capacity=32,
+            kv_dtype="float32", chunk=3,
+        )
+        return np.asarray(t), np.asarray(n)
+
+    cpu0 = jax.devices("cpu")[0]
+    want_tok, want_n = _lookup(
+        jax.device_put(params_q8, cpu0), jax.device_put(ids, cpu0)
+    )
+
+    mesh = make_mesh(dp=4, mp=2, devices=jax.devices("cpu")[:8])
+    sharded = shard_params(params_q8, mesh, lm_param_specs_q8(cfg, params_q8))
+    with mesh:
+        got_tok, got_n = _lookup(sharded, ids)
+    assert np.array_equal(got_n, want_n)
+    assert np.array_equal(got_tok, want_tok)
