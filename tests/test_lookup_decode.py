@@ -130,3 +130,62 @@ def test_batched_lookup_matches_plain_greedy(setup):
         np.testing.assert_array_equal(
             a[r, : 10 + n0[r]], b_[r, : 10 + n1[r]], err_msg=f"row {r}"
         )
+
+
+def test_lookup_accelerates_deterministic_cycle():
+    """A hand-built Markov LM (zeroed attention/MLP; embed -> lm_head maps
+    token t to t+1 mod 48) emits a strict cycle; after the first period the
+    drafts must all accept, so decode forwards << tokens generated."""
+    from deepseek_ocr2_tpu.runtime.generate import lookup_greedy_generate
+
+    cfg = tiny_lm_config(num_hidden_layers=2)
+    params = dsv2.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    h, period = cfg.hidden_size, 24
+
+    # Orthogonal-ish token embeddings for the first `period` ids.
+    emb = np.zeros((cfg.vocab_size, h), np.float32)
+    emb[:period, : period % h if period < h else h] = 0  # placate linters
+    for t in range(period):
+        emb[t, t % h] = 1.0 if t < h else 1.0  # identity rows (period<=h)
+    assert period <= h
+    lm_head = np.zeros((h, cfg.vocab_size), np.float32)
+    for t in range(period):
+        lm_head[t, (t + 1) % period] = 1.0  # <e_t, col_{t+1}> dominates
+
+    def zeroed(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), tree)
+
+    params = dict(params)
+    params["embed"] = jnp.asarray(emb)
+    params["lm_head"] = jnp.asarray(lm_head)
+    # Zero every attention/MLP/expert weight: residual stream carries the
+    # token embedding straight to the head (norms rescale, argmax invariant).
+    params["layers_dense"] = zeroed(params["layers_dense"])
+    lm = dict(params["layers_moe"])
+    for k in ("attn", "experts", "shared"):
+        lm[k] = zeroed(params["layers_moe"][k])
+    params["layers_moe"] = {**params["layers_moe"], **lm}
+
+    # Prompt carries one FULL period + a few tokens, so every generated
+    # position has a prior occurrence to draft from.
+    prompt = list(range(period)) + list(range(4))
+    s_len = len(prompt)
+    ids = jnp.asarray(np.asarray(prompt)[None, :], jnp.int32)
+    embeds = jnp.take(params["embed"], ids, axis=0)
+    kw = dict(max_new_tokens=96, ngram_size=0, eos_id=255, capacity=256,
+              kv_dtype="float32")
+    base, nb = greedy_generate(params, cfg, embeds, ids, **kw)
+    gen = np.asarray(base)[0, s_len : s_len + int(np.asarray(nb)[0])]
+    want = [(3 + i + 1) % period for i in range(96)]
+    np.testing.assert_array_equal(gen, want)  # the cycle really is emitted
+
+    t, n, steps = lookup_greedy_generate(
+        params, cfg, embeds, ids, chunk=6, return_steps=True, **kw
+    )
+    n = int(np.asarray(n)[0])
+    steps = int(np.asarray(steps))
+    assert n == 96
+    np.testing.assert_array_equal(np.asarray(t)[0, s_len : s_len + n], want)
+    # 96 tokens at chunk 6 with full acceptance ~ 17 forwards; < 1/3 of the
+    # token count proves the drafts hit.
+    assert steps <= 32, f"speculation did not accelerate: {steps} forwards"
