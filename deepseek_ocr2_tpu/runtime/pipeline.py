@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 import time
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -367,7 +368,7 @@ class OCR2Pipeline:
         if self.lookup_chunk > 1 and not sampling:  # chunk 1 == plain greedy
             from .generate import lookup_greedy_generate
 
-            tokens, n_gen = lookup_greedy_generate(
+            tokens, n_gen, lookup_steps = lookup_greedy_generate(
                 self.params["lm"],
                 cfg.lm,
                 embeds,
@@ -380,8 +381,10 @@ class OCR2Pipeline:
                 ),
                 kv_dtype=self.kv_dtype,
                 chunk=self.lookup_chunk,
+                return_steps=True,
             )
         else:
+            lookup_steps = None
             tokens, n_gen = greedy_generate(
                 self.params["lm"],
                 cfg.lm,
@@ -398,6 +401,13 @@ class OCR2Pipeline:
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)
         t2 = time.perf_counter()
+        if lookup_steps is not None:
+            steps_v = max(int(np.asarray(lookup_steps)), 1)
+            print(
+                f"[lookup-decode: {int(n_gen[0])} tokens in {steps_v} forwards "
+                f"= {int(n_gen[0]) / steps_v:.2f} tok/forward]",
+                file=sys.stderr,
+            )
 
         total = prompt_len + int(n_gen[0])
         all_ids = tokens[0, :total].tolist()
