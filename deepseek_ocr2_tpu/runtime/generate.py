@@ -134,26 +134,35 @@ def greedy_generate(
     return tokens, n_gen
 
 
-def _lookup_draft(hist, cur_len, match_n: int, draft_k: int):
-    """Prompt-lookup draft: find the LATEST prior occurrence of the current
-    match_n-gram suffix in hist[:cur_len] and return the draft_k tokens that
-    followed it. No match -> garbage guesses (correctness never depends on
-    draft quality; bad drafts just verify to 1 token/step)."""
+def _lookup_draft_n(hist, cur_len, n: int, draft_k: int):
+    """Latest prior occurrence of the current n-gram suffix in
+    hist[:cur_len]; returns (found, draft_k continuation tokens)."""
     t_buf = hist.shape[0]
-    last = jax.lax.dynamic_slice(
-        hist, (jnp.maximum(cur_len - match_n, 0),), (match_n,)
-    )
-    n_win = t_buf - match_n
+    last = jax.lax.dynamic_slice(hist, (jnp.maximum(cur_len - n, 0),), (n,))
+    n_win = t_buf - n
     eq = jnp.ones((n_win,), bool)
-    for j in range(match_n):
+    for j in range(n):
         eq = eq & (hist[j : j + n_win] == last[j])
     idx = jnp.arange(n_win, dtype=jnp.int32)
     # Window fully inside the emitted tokens, excluding the suffix itself.
-    valid = eq & (idx < cur_len - match_n)
+    valid = eq & (idx < cur_len - n)
     score = jnp.where(valid, idx, -1)
     j_star = jnp.max(score)
-    start = jnp.maximum(j_star, 0) + match_n
-    return jax.lax.dynamic_slice(hist, (start,), (draft_k,))
+    start = jnp.maximum(j_star, 0) + n
+    return j_star >= 0, jax.lax.dynamic_slice(hist, (start,), (draft_k,))
+
+
+def _lookup_draft(hist, cur_len, match_n: int, draft_k: int):
+    """Prompt-lookup draft, longest-suffix-first: try n = match_n down to 1
+    and take the longest n-gram with a prior occurrence (longer context =
+    higher-precision drafts). No match at any n -> garbage guesses
+    (correctness never depends on draft quality; bad drafts just verify to
+    1 token/step)."""
+    found, draft = _lookup_draft_n(hist, cur_len, 1, draft_k)
+    for n in range(2, match_n + 1):  # longer matches override
+        found_n, draft_n = _lookup_draft_n(hist, cur_len, n, draft_k)
+        draft = jnp.where(found_n, draft_n, draft)
+    return draft
 
 
 @functools.partial(
