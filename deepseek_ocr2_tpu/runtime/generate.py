@@ -191,7 +191,7 @@ def lookup_greedy_generate(
     capacity: int = 2048,
     kv_dtype: str = "bfloat16",
     chunk: int = 4,
-    match_n: int = 2,
+    match_n: int = 3,
     return_steps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy generation with prompt-lookup speculative decoding (single
@@ -308,7 +308,7 @@ def lookup_greedy_generate_batched(
     capacity: int = 2048,
     kv_dtype: str = "bfloat16",
     chunk: int = 4,
-    match_n: int = 2,
+    match_n: int = 3,
     return_steps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched prompt-lookup speculative greedy decoding.

@@ -51,3 +51,24 @@ def test_engine_groups_mixed_ratios(pipe):
     for i, (s, b) in enumerate(zip(singles, results)):
         assert b.token_ids == s.token_ids, i
         assert b.text == s.text
+
+
+def test_engine_lookup_decode_matches_plain(pipe):
+    """The group-batched engine with lookup_chunk set must produce the same
+    page token ids as the plain greedy engine."""
+    rng = np.random.default_rng(9)
+    images = [
+        Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8))
+        for _ in range(3)
+    ]
+    plain = OCR2Engine(pipe, batch_size=2).run(
+        images, max_new_tokens=12, no_crop=True, ngram_size=3
+    )
+    pipe.lookup_chunk = 4
+    try:
+        spec = OCR2Engine(pipe, batch_size=2).run(
+            images, max_new_tokens=12, no_crop=True, ngram_size=3
+        )
+    finally:
+        pipe.lookup_chunk = 0
+    assert [r.token_ids for r in spec] == [r.token_ids for r in plain]
