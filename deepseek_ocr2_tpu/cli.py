@@ -477,12 +477,14 @@ def cmd_generate_ocr(args) -> int:
 def cmd_serve(args) -> int:
     pipe, cfg = _load_ocr_pipeline(args)
     sampling = _sampling_args(args)
-    if getattr(args, "lookup_decode", 0) and args.continuous:
+    lookup_chunk = getattr(args, "lookup_decode", 0)
+    if lookup_chunk and (sampling or {}).get("temperature", 0.0) != 0.0:
         print(
-            "note: --lookup-decode applies to generate-ocr/generate-text and "
-            "the group-batched serve engine; the continuous engine ignores it",
+            "note: --lookup-decode requires greedy decoding; ignoring it "
+            "because --temperature > 0",
             file=sys.stderr,
         )
+        lookup_chunk = 0
     if args.continuous:
         from .runtime.continuous import ContinuousOCREngine
 
@@ -492,6 +494,7 @@ def cmd_serve(args) -> int:
             capacity=args.capacity,
             page_size=args.page_size,
             pool_tokens=args.pool_tokens,
+            lookup_chunk=lookup_chunk,
         )
     else:
         from .runtime.engine import OCR2Engine
@@ -519,6 +522,16 @@ def cmd_serve(args) -> int:
                 file=sys.stderr,
             )
     print(f"[{len(args.images)} pages in {dt:.2f}s = {len(args.images) / dt:.2f} pages/s]", file=sys.stderr)
+    if args.continuous and getattr(engine, "last_lookup_forwards", 0):
+        # First token per page comes from the admission prefill, not a chunk
+        # forward; the remainder is what the speculative chunks produced.
+        chunk_tokens = sum(r.new_tokens - 1 for r in results if r is not None)
+        print(
+            f"[lookup: {chunk_tokens} tokens / {engine.last_lookup_forwards} "
+            f"chunk forwards = {chunk_tokens / engine.last_lookup_forwards:.2f} "
+            "tok/forward]",
+            file=sys.stderr,
+        )
     return 0
 
 

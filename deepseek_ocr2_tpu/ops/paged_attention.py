@@ -262,6 +262,180 @@ def paged_decode_attention_pool(
     )
 
 
+def _paged_kernel_pool_chunk(
+    # scalar prefetch
+    block_tables_ref,  # [B, max_pages] i32
+    seq_lens_ref,  # [B, S] i32 per-query valid-key counts
+    layer_ref,  # [1] i32
+    # inputs
+    q_ref,  # [1, S, 1, D] (row bi, head hi block)
+    k_ref,  # [1, 1, 1, page, D] (layer + page selected via index_map)
+    v_ref,
+    # outputs
+    o_ref,  # [1, S, 1, D]
+    # scratch
+    m_ref,  # [S, 1] f32 VMEM
+    l_ref,  # [S, 1] f32 VMEM
+    acc_ref,  # [S, D] f32 VMEM
+    *,
+    scale: float,
+    page_size: int,
+    n_queries: int,
+):
+    """Chunk-query variant of _paged_kernel_pool (speculative verification).
+
+    All S queries of a (row, head) share the row's pages, so each grid step
+    runs ONE [S, page] score dot against the page instead of S separate
+    launches; per-query causal budgets arrive as seq_lens[b, i] (query i of
+    row b attends keys < seq_lens[b, i])."""
+    del layer_ref  # consumed by the index_map only
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Budgets are nondecreasing in i (query i sits one position after i-1),
+    # but take an explicit max so the guard never depends on that.
+    max_len = seq_lens_ref[b, 0]
+    for i in range(1, n_queries):
+        max_len = jnp.maximum(max_len, seq_lens_ref[b, i])
+
+    @pl.when(p * page_size < max_len)
+    def _():
+        q = q_ref[0, :, 0, :].astype(jnp.float32)  # [S, D]
+        k = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
+        v = v_ref[0, 0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)  # [S, page]
+
+        budget = jnp.concatenate(
+            [seq_lens_ref[b, i].reshape(1, 1) for i in range(n_queries)], axis=0
+        )  # [S, 1]
+        k_pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1
+        )  # [1, page]
+        s = jnp.where(k_pos < budget, s, jnp.float32(NEG_INF))
+
+        m_old = m_ref[:]  # [S, 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)  # [S, page]
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p_ij, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-37)
+        o_ref[0, :, 0, :] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def paged_decode_attention_pool_chunk(
+    q: jnp.ndarray,  # [B, S, Hh, D] chunk queries (last token + drafts)
+    k_pool: jnp.ndarray,  # [L, P, Hh, page, D] full layer-stacked pool
+    v_pool: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages] i32
+    seq_lens: jnp.ndarray,  # [B, S] i32 per-query valid-key counts
+    layer,  # scalar i32 layer index
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paged pool attention for S speculative queries per row.
+
+    Same streaming-softmax walk as paged_decode_attention_pool, but each
+    (row, head, page) grid step scores all S chunk queries in one dot; each
+    query i applies its own causal budget seq_lens[b, i] (= its absolute
+    position + 1), so draft position i sees exactly its causal prefix.
+    Returns [B, S, Hh, D] f32.
+    """
+    b, s_q, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pool.shape[3]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hh, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s_q, 1, d),
+                lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s_q, 1, d),
+            lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s_q, 1), jnp.float32),
+            pltpu.VMEM((s_q, 1), jnp.float32),
+            pltpu.VMEM((s_q, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_kernel_pool_chunk, scale=scale, page_size=page_size, n_queries=s_q
+    )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_q, hh, d), jnp.float32),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        layer_arr,
+        q,
+        k_pool,
+        v_pool,
+    )
+
+
+def paged_decode_attention_xla_chunk(
+    q, k_pages, v_pages, block_tables, seq_lens, *, scale
+) -> jnp.ndarray:
+    """XLA chunk-query reference (gathers pages; oracle + CPU fallback).
+
+    q: [B, S, Hh, D]; seq_lens: [B, S] per-query budgets. Returns
+    [B, S, Hh, D] f32.
+    """
+    b, s_q, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pages.shape[2]
+    k = jnp.take(k_pages, block_tables, axis=0)  # [B, max_pages, Hh, page, D]
+    v = jnp.take(v_pages, block_tables, axis=0)
+    k = k.transpose(0, 2, 1, 3, 4).reshape(b, hh, max_pages * page_size, d)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, hh, max_pages * page_size, d)
+    s = jnp.einsum(
+        "bshd,bhkd->bhsk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * jnp.float32(scale)
+    k_pos = jnp.arange(max_pages * page_size)[None, None, None, :]
+    s = jnp.where(k_pos < seq_lens[:, None, :, None], s, jnp.float32(NEG_INF))
+    w = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhsk,bhkd->bshd", w, v.astype(jnp.float32))
+
+
 def paged_decode_attention_xla(
     q, k_pages, v_pages, block_tables, seq_lens, *, scale
 ) -> jnp.ndarray:

@@ -27,7 +27,10 @@ Device/host split:
 - decoding: `decode_chunk` advances ALL active slots `chunk` steps in one
   dispatch over the paged pool (per-slot positions, per-slot n-gram ban,
   per-slot EOS/budget, optional per-slot sampling); the host reads back one
-  small packed state vector between chunks.
+  small packed state vector between chunks. With lookup_chunk >= 2 (greedy
+  only), `decode_chunk_lookup` replaces the 1-token steps with prompt-lookup
+  speculative chunk forwards: 1..chunk accepted tokens per weight pass per
+  slot, token-exact vs the plain path.
 
 Sampling is per-page reproducible: the PRNG key folds (seed, page_index,
 absolute position), so a page's sampled tokens do not depend on slot
@@ -204,6 +207,93 @@ def decode_chunk(
     return cache, tokens, cur_lens, done, status
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "chunk", "match_n", "ngram_size", "eos_id"),
+    donate_argnums=(1, 2),
+)
+def decode_chunk_lookup(
+    lm_params,
+    cache,  # PagedKV {'k','v'}: [L, P, Hh, page, D]
+    tokens: jnp.ndarray,  # [B, tok_cap] i32
+    cur_lens: jnp.ndarray,  # [B] valid token counts
+    done: jnp.ndarray,  # [B] bool
+    limits: jnp.ndarray,  # [B] stop length (prompt + max_new)
+    block_tables: jnp.ndarray,  # [B, max_pages] i32
+    cfg: DeepseekV2Config,
+    *,
+    n_steps: int,
+    chunk: int,
+    match_n: int,
+    ngram_size: int,
+    eos_id: int,
+):
+    """Advance all active slots by n_steps prompt-lookup speculative steps.
+
+    Each scan step feeds every slot `chunk` embeddings (its last token +
+    chunk-1 drafted continuations from the latest prior occurrence of its
+    current match_n-gram) through ONE chunk decode over the paged pool
+    (per-row positions, per-query causal budgets), then accepts the longest
+    prefix where the model's own greedy pick (ban mask included) agrees
+    with the draft, plus the first disagreeing pick as a bonus: 1..chunk
+    tokens per weight pass per slot. Greedy-only (the speculative accept
+    test needs a deterministic pick). Per-slot semantics match decode_chunk
+    exactly — same ban positions, same EOS/limit rule — so outputs are
+    token-exact vs the plain engine up to chunk-width GEMM rounding.
+
+    The packed status vector carries one extra scalar: the number of scan
+    steps with at least one active slot (accepted-tokens / that = measured
+    tokens-per-forward).
+    """
+    from .generate import _lookup_draft
+
+    b, tok_cap = tokens.shape
+    vocab = dsv2.vocab_size_of(lm_params)
+    rows = jnp.arange(b)
+    ban_fn = jax.vmap(ngram_ban_mask, in_axes=(0, 0, None, None))
+    draft_fn = jax.vmap(_lookup_draft, in_axes=(0, 0, None, None))
+
+    def step(state, _):
+        cache, tokens, cur_lens, done, forwards = state
+        active = ~done
+        forwards = forwards + jnp.any(active).astype(jnp.int32)
+        last = tokens[rows, jnp.clip(cur_lens - 1, 0, tok_cap - 1)]
+        draft = draft_fn(tokens, cur_lens, match_n, chunk - 1)  # [B, chunk-1]
+        chunk_ids = jnp.concatenate([last[:, None], draft], axis=1)  # [B, chunk]
+        emb = jnp.take(lm_params["embed"], chunk_ids, axis=0)  # [B, chunk, H]
+        pos = jnp.clip(cur_lens - 1, 0, tok_cap - 1)
+        # Finished/empty slots must never write into live pages: point their
+        # block-table rows at the reserved scratch page 0.
+        bt = jnp.where(done[:, None], 0, block_tables)
+        hidden, cache = lm_decode_step_paged(lm_params, cfg, emb, cache, bt, pos)
+        logits = dsv2.logits_all(lm_params, hidden)  # [B, chunk, V]
+
+        accepting = active
+        add = jnp.zeros((b,), jnp.int32)
+        for i in range(chunk):
+            ban = ban_fn(tokens, cur_lens + i, ngram_size, vocab)
+            t_i = jax.vmap(greedy_pick)(logits[:, i], ban)  # [B]
+            emit = accepting
+            wpos = jnp.clip(cur_lens + i, 0, tok_cap - 1)
+            old = tokens[rows, wpos]
+            tokens = tokens.at[rows, wpos].set(jnp.where(emit, t_i, old))
+            add = add + emit.astype(jnp.int32)
+            newly_done = emit & ((t_i == eos_id) | (cur_lens + i + 1 >= limits))
+            done = done | newly_done
+            if i < chunk - 1:
+                accepting = emit & ~newly_done & (t_i == draft[:, i])
+        cur_lens = cur_lens + add
+        return (cache, tokens, cur_lens, done, forwards), None
+
+    (cache, tokens, cur_lens, done, forwards), _ = jax.lax.scan(
+        step, (cache, tokens, cur_lens, done, jnp.int32(0)), None, length=n_steps
+    )
+    status = jnp.concatenate(
+        [cur_lens, done.astype(jnp.int32), forwards.reshape(1)]
+    )
+    return cache, tokens, cur_lens, done, status
+
+
 def _pow2_at_most(n: int) -> int:
     p = 1
     while p * 2 <= n:
@@ -228,6 +318,8 @@ class ContinuousOCREngine:
         chunk_steps: int = 32,
         page_size: int = 128,
         pool_tokens: Optional[int] = None,
+        lookup_chunk: int = 0,
+        lookup_match_n: int = 3,
     ):
         self.pipe = pipe
         self.slots = slots
@@ -235,6 +327,18 @@ class ContinuousOCREngine:
         self.chunk_steps = chunk_steps
         self.page_size = page_size
         self.pool_tokens = pool_tokens or slots * capacity
+        # Prompt-lookup speculative decoding (greedy only): each dispatch
+        # runs lookup_steps scan steps of `lookup_chunk` speculative tokens,
+        # so its worst-case advance (and KV-write horizon) stays within the
+        # same per-dispatch token budget the plain engine uses.
+        self.lookup_chunk = lookup_chunk
+        self.lookup_match_n = lookup_match_n
+        if lookup_chunk >= 2:
+            self.lookup_steps = max(1, chunk_steps // lookup_chunk)
+            self.dispatch_tokens = self.lookup_steps * lookup_chunk
+        else:
+            self.lookup_steps = 0
+            self.dispatch_tokens = chunk_steps
         self.max_pages_per_slot = pages_for(capacity, page_size)
         # +1: page 0 is the reserved scratch page.
         self.num_pages = pages_for(self.pool_tokens, page_size) + 1
@@ -270,6 +374,13 @@ class ContinuousOCREngine:
             top_p=sampling.get("top_p", 1.0),
         )
         base_seed = sampling.get("seed", 0)
+        use_lookup = self.lookup_chunk >= 2
+        if use_lookup and samp_static["temperature"] != 0.0:
+            raise ValueError(
+                "lookup_chunk requires greedy decoding (temperature 0): the "
+                "speculative accept test compares deterministic picks"
+            )
+        n_lookup_forwards = 0
 
         cache = make_paged_kv_cache(
             lm_cfg.num_hidden_layers,
@@ -314,7 +425,7 @@ class ContinuousOCREngine:
             # Lazy allocation: prompt + first token + first chunk only;
             # grow_pages() tops slots up before every later chunk.
             n_alloc_pages = pages_for(
-                min(s + 1 + self.chunk_steps, s + max_new_tokens), page
+                min(s + 1 + self.dispatch_tokens, s + max_new_tokens), page
             )
             prefill_cap = n_prompt_pages * page
 
@@ -478,7 +589,7 @@ class ContinuousOCREngine:
                 )
                 s0 = len(ids)
                 need_per = pages_for(
-                    min(s0 + 1 + self.chunk_steps, s0 + max_new_tokens), page
+                    min(s0 + 1 + self.dispatch_tokens, s0 + max_new_tokens), page
                 )
                 # Degrade to smaller power-of-two batches when the pool is
                 # tight: the constructor guarantees a single slot fits, so
@@ -519,25 +630,48 @@ class ContinuousOCREngine:
 
         def grow_pages():
             """Top every active slot's block table up to the pages the next
-            chunk will write. On pool exhaustion, preempt youngest-first."""
+            chunk will write. On pool exhaustion, preempt youngest-first —
+            but only slots admitted AFTER the growing one. Evicting an older
+            slot would let two slots ping-pong preempt each other forever
+            (observed livelock: A grows -> evicts B, B re-admits and grows ->
+            evicts A, repeat). With strictly-younger victims the oldest
+            sequence is never evicted, so it always finishes and the pool
+            drains: progress is guaranteed. A younger slot that finds no
+            younger victim gives its own pages back (self-preempt) and waits
+            for re-admission."""
             for slot in sorted(slot_page, key=lambda s2: admit_t[s2]):
-                if done_np[slot]:
+                if slot not in slot_page or done_np[slot]:
                     continue
-                target = min(int(lens_np[slot]) + self.chunk_steps, slot_limits[slot])
+                target = min(int(lens_np[slot]) + self.dispatch_tokens, slot_limits[slot])
                 needed = pages_for(target, page)
                 have = len(slot_pages[slot])
                 if needed <= have:
                     continue
+                preempted_self = False
                 while alloc.n_free < needed - have:
                     victims = [
+                        s2
+                        for s2 in slot_page
+                        if s2 != slot
+                        and not done_np[s2]
+                        and admit_t[s2] > admit_t[slot]
+                    ]
+                    if victims:
+                        preempt(max(victims, key=lambda s2: admit_t[s2]))
+                        continue
+                    others = [
                         s2 for s2 in slot_page if s2 != slot and not done_np[s2]
                     ]
-                    if not victims:
+                    if not others:
                         raise RuntimeError(
                             "KV page pool exhausted with one active slot; "
                             "pool_tokens is below a single sequence's budget"
                         )
-                    preempt(max(victims, key=lambda s2: admit_t[s2]))
+                    preempt(slot)
+                    preempted_self = True
+                    break
+                if preempted_self:
+                    continue
                 extra = alloc.allocate(needed - have)
                 slot_pages[slot].extend(extra)
                 block_tables_np[slot, have:needed] = extra
@@ -575,24 +709,43 @@ class ContinuousOCREngine:
                 grow_pages()
                 admit_pending()
                 if slot_page and not all(done_np[s] for s in slot_page):
-                    cache, tokens, cur_lens, done, status = decode_chunk(
-                        lm,
-                        cache,
-                        tokens,
-                        cur_lens,
-                        done,
-                        limits,
-                        jnp.asarray(block_tables_np),
-                        seeds,
-                        lm_cfg,
-                        n_steps=self.chunk_steps,
-                        ngram_size=ngram_size,
-                        eos_id=eos,
-                        **samp_static,
-                    )
-                    status_h = np.asarray(status)
+                    if use_lookup:
+                        cache, tokens, cur_lens, done, status = decode_chunk_lookup(
+                            lm,
+                            cache,
+                            tokens,
+                            cur_lens,
+                            done,
+                            limits,
+                            jnp.asarray(block_tables_np),
+                            lm_cfg,
+                            n_steps=self.lookup_steps,
+                            chunk=self.lookup_chunk,
+                            match_n=self.lookup_match_n,
+                            ngram_size=ngram_size,
+                            eos_id=eos,
+                        )
+                        status_h = np.asarray(status)
+                        n_lookup_forwards += int(status_h[2 * b])
+                    else:
+                        cache, tokens, cur_lens, done, status = decode_chunk(
+                            lm,
+                            cache,
+                            tokens,
+                            cur_lens,
+                            done,
+                            limits,
+                            jnp.asarray(block_tables_np),
+                            seeds,
+                            lm_cfg,
+                            n_steps=self.chunk_steps,
+                            ngram_size=ngram_size,
+                            eos_id=eos,
+                            **samp_static,
+                        )
+                        status_h = np.asarray(status)
                     lens_np[:] = status_h[:b]
-                    done_np[:] = status_h[b:].astype(bool)
+                    done_np[:] = status_h[b : 2 * b].astype(bool)
                 harvest()
         finally:
             with pre_cv:
@@ -601,4 +754,9 @@ class ContinuousOCREngine:
             prefetch_thread.join(timeout=10.0)
 
         self.last_preempted = n_preempted
+        # Measured speculative efficiency: accepted tokens (minus the one
+        # prefill-picked token per page) per chunk forward with >=1 active
+        # slot. Forwards still advance rows independently, so this is a
+        # batch-level tokens-per-weight-pass figure.
+        self.last_lookup_forwards = n_lookup_forwards
         return results  # type: ignore[return-value]

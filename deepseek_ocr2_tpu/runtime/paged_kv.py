@@ -26,7 +26,9 @@ from ..ops.moe import moe_ffn_decode, route, swiglu
 from ..ops.norms import rms_norm
 from ..ops.paged_attention import (
     paged_decode_attention_pool,
+    paged_decode_attention_pool_chunk,
     paged_decode_attention_xla,
+    paged_decode_attention_xla_chunk,
 )
 from ..ops.flash_attention import pallas_enabled
 from ..models.deepseek_v2 import (
@@ -111,31 +113,38 @@ def write_prompt_pages_batched(
 
 
 def _paged_attention_step(
-    xn: jnp.ndarray,  # [B, 1, H] normed input
+    xn: jnp.ndarray,  # [B, S, H] normed input (S==1 plain decode; S>1 chunk)
     attn,  # {"wq","wk","wv","wo"} bf16 or {"wqkv","wo"} q8
     cfg: DeepseekV2Config,
     k_pool: jnp.ndarray,  # [L, P, Hh, page, D] full layer-stacked pool
     v_pool: jnp.ndarray,
     li,  # scalar i32 layer index
     block_tables: jnp.ndarray,  # [B, max_pages]
-    pos: jnp.ndarray,  # [B]
-    cos_b: jnp.ndarray,
+    pos: jnp.ndarray,  # [B] position of xn[:, 0]
+    cos_b: jnp.ndarray,  # broadcastable to [B, Hh, S, D]
     sin_b: jnp.ndarray,
     run_pallas: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """QKV + per-slot RoPE + paged KV write + paged attention + out proj.
 
-    Operates on the full pool in place: the one-token K/V write is a scatter
-    at [li, page, :, off, :] and the kernel reads pages straight from the
-    stacked pool via the layer index — no [P, ...] layer slice ever
-    materializes (see ops/paged_attention.paged_decode_attention_pool).
+    Operates on the full pool in place: the K/V write is a per-(row, step)
+    scatter and the kernel reads pages straight from the stacked pool via
+    the layer index — no [P, ...] layer slice ever materializes (see
+    ops/paged_attention.paged_decode_attention_pool).
+
+    Chunk mode (S > 1 — speculative-decode verification): the S draft
+    tokens of row b write at pos[b]..pos[b]+S-1 (page boundaries crossed
+    via the per-element page/offset scatter); query j's causal budget
+    extends to its own absolute position, so each draft sees exactly its
+    prefix. Positions whose block-table entry is 0 (beyond a slot's
+    allocation, or a finished slot) land in the reserved scratch page and
+    are never read by an in-budget query.
     """
-    b, _, h = xn.shape
+    b, s, h = xn.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
     scale = 1.0 / math.sqrt(d)
-    seq_lens = pos + 1
 
-    q, k, v = _qkv_proj(xn, attn, b, 1, nh, d, decode=True)
+    q, k, v = _qkv_proj(xn, attn, b, s, nh, d, decode=True)
 
     def rot(t):
         half = t.shape[-1] // 2
@@ -147,40 +156,83 @@ def _paged_attention_step(
 
     page = k_pool.shape[3]
     rows = jnp.arange(b)
-    page_ids = block_tables[rows, pos // page]
-    off = pos % page
-    k_pool = k_pool.at[li, page_ids, :, off, :].set(k32[:, :, 0, :].astype(k_pool.dtype))
-    v_pool = v_pool.at[li, page_ids, :, off, :].set(v32[:, :, 0, :].astype(v_pool.dtype))
-
-    q_dec = q32[:, :, 0, :]  # [B, Hh, D]
-    if run_pallas:
-        ctx = paged_decode_attention_pool(
-            q_dec, k_pool, v_pool, block_tables, seq_lens, li, scale=scale
+    if s == 1:
+        seq_lens = pos + 1
+        page_ids = block_tables[rows, pos // page]
+        off = pos % page
+        k_pool = k_pool.at[li, page_ids, :, off, :].set(
+            k32[:, :, 0, :].astype(k_pool.dtype)
         )
+        v_pool = v_pool.at[li, page_ids, :, off, :].set(
+            v32[:, :, 0, :].astype(v_pool.dtype)
+        )
+        q_dec = q32[:, :, 0, :]  # [B, Hh, D]
+        if run_pallas:
+            ctx = paged_decode_attention_pool(
+                q_dec, k_pool, v_pool, block_tables, seq_lens, li, scale=scale
+            )
+        else:
+            k_layer = jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False)
+            v_layer = jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False)
+            ctx = paged_decode_attention_xla(
+                q_dec, k_layer, v_layer, block_tables, seq_lens, scale=scale
+            )
+        ctx = ctx.reshape(b, 1, h).astype(xn.dtype)
     else:
-        k_layer = jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False)
-        v_layer = jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False)
-        ctx = paged_decode_attention_xla(
-            q_dec, k_layer, v_layer, block_tables, seq_lens, scale=scale
+        posq = pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]  # [B, S]
+        seq_lens = posq + 1  # per-query causal budgets
+        page_ids = block_tables[rows[:, None], posq // page]  # [B, S]
+        off = posq % page
+        # [B, S] (page, offset) scatter; values ordered [B, S, Hh, D].
+        k_pool = k_pool.at[li, page_ids, :, off, :].set(
+            k32.transpose(0, 2, 1, 3).astype(k_pool.dtype)
         )
-    ctx = ctx.reshape(b, 1, h).astype(xn.dtype)
+        v_pool = v_pool.at[li, page_ids, :, off, :].set(
+            v32.transpose(0, 2, 1, 3).astype(v_pool.dtype)
+        )
+        q_chunk = q32.transpose(0, 2, 1, 3)  # [B, S, Hh, D]
+        if run_pallas:
+            ctx = paged_decode_attention_pool_chunk(
+                q_chunk, k_pool, v_pool, block_tables, seq_lens, li, scale=scale
+            )
+        else:
+            k_layer = jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False)
+            v_layer = jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False)
+            ctx = paged_decode_attention_xla_chunk(
+                q_chunk, k_layer, v_layer, block_tables, seq_lens, scale=scale
+            )
+        ctx = ctx.reshape(b, s, h).astype(xn.dtype)
     return _o_proj(ctx, attn, decode=True), k_pool, v_pool
+
+
+def _chunk_rope(cos, sin, pos: jnp.ndarray, s: int):
+    """cos/sin broadcastable to [B, Hh, S, D] for per-row positions pos[B]
+    (the chunk's S tokens sit at pos..pos+S-1 per row)."""
+    if s == 1:
+        cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
+        sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+    else:
+        posq = pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]  # [B, S]
+        cos_b = jnp.take(cos, posq, axis=0)[:, None]  # [B, 1, S, D]
+        sin_b = jnp.take(sin, posq, axis=0)[:, None]
+    return cos_b, sin_b
 
 
 def lm_decode_step_paged(
     params,
     cfg: DeepseekV2Config,
-    embeds: jnp.ndarray,  # [B, 1, H]
+    embeds: jnp.ndarray,  # [B, S, H] (S==1 plain decode; S>1 lookup chunk)
     cache: PagedKV,
     block_tables: jnp.ndarray,  # [B, max_pages]
-    pos: jnp.ndarray,  # [B] per-slot position of the new token
+    pos: jnp.ndarray,  # [B] per-slot position of embeds[:, 0]
     *,
     use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, PagedKV]:
-    """One decode step over the paged cache. Returns (hidden [B,1,H], cache).
+    """One decode step over the paged cache. Returns (hidden [B,S,H], cache).
 
     Quantized params (quantize_lm_params, either scope) take the unrolled
-    int8 path automatically.
+    int8 path automatically. S > 1 is the speculative-verification chunk
+    mode (prompt-lookup decoding in the continuous engine).
     """
     if "moe_q8" in params:
         return _lm_decode_step_paged_q8(
@@ -188,15 +240,13 @@ def lm_decode_step_paged(
         )
     cos, sin = _rope_consts(cfg)
     b, s, h = embeds.shape
-    assert s == 1
     ld = cfg.first_k_dense_replace
     run_pallas = use_pallas and pallas_enabled()
 
-    cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
-    sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+    cos_b, sin_b = _chunk_rope(cos, sin, pos, s)
     from ..models.deepseek_v2 import _lift_experts_for_decode
 
-    moe_layers, experts_stack = _lift_experts_for_decode(params["layers_moe"], b, cfg)
+    moe_layers, experts_stack = _lift_experts_for_decode(params["layers_moe"], b * s, cfg)
 
     def layer_step(x, layer, li, k_pool, v_pool):
         res = x
@@ -209,7 +259,7 @@ def lm_decode_step_paged(
 
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
-        x_flat = xn.reshape(b, h)
+        x_flat = xn.reshape(b * s, h)
         if "router" in layer:
             weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
             if experts_stack is not None:
@@ -228,7 +278,7 @@ def lm_decode_step_paged(
             mlp_out = swiglu(
                 x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
             )
-        x = res + mlp_out.reshape(b, 1, h)
+        x = res + mlp_out.reshape(b, s, h)
         return x, k_pool, v_pool
 
     # Full pool carried in place (no per-layer slices, no stack/concat
@@ -256,7 +306,7 @@ def lm_decode_step_paged(
 def _lm_decode_step_paged_q8(
     params,
     cfg: DeepseekV2Config,
-    embeds: jnp.ndarray,  # [B, 1, H]
+    embeds: jnp.ndarray,  # [B, S, H]
     cache: PagedKV,
     block_tables: jnp.ndarray,
     pos: jnp.ndarray,
@@ -267,12 +317,10 @@ def _lm_decode_step_paged_q8(
     kernels are opaque custom calls that must not be scan-sliced)."""
     cos, sin = _rope_consts(cfg)
     b, s, h = embeds.shape
-    assert s == 1
     ld = cfg.first_k_dense_replace
     run_pallas = use_pallas and pallas_enabled()
 
-    cos_b = jnp.take(cos, pos, axis=0)[:, None, None, :]
-    sin_b = jnp.take(sin, pos, axis=0)[:, None, None, :]
+    cos_b, sin_b = _chunk_rope(cos, sin, pos, s)
 
     def layer_step(x, layer, li, q8_experts, k_pool, v_pool):
         res = x
@@ -285,9 +333,9 @@ def _lm_decode_step_paged_q8(
         res = x
         xn = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
         ffn = _q8_ffn(
-            xn.reshape(b, h), layer, cfg, q8_experts, decode=True, is_prefill=False
+            xn.reshape(b * s, h), layer, cfg, q8_experts, decode=True, is_prefill=False
         )
-        x = res + ffn.reshape(b, 1, h)
+        x = res + ffn.reshape(b, s, h)
         return x, k_pool, v_pool
 
     x = embeds

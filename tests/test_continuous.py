@@ -189,3 +189,110 @@ def test_continuous_page_growth_preemption(setup):
     ).run(pages, max_new_tokens=max_new, ngram_size=0, sampling=dict(samp))
     for a, b2 in zip(tight, roomy):
         assert a.token_ids == b2.token_ids
+
+
+def test_continuous_lookup_token_exact(setup):
+    """Prompt-lookup speculative decoding in the continuous engine must be
+    token-exact vs the plain continuous engine (greedy), and must report
+    the chunk-forward count it used."""
+    cfg, pipe = setup
+    pages = _pages(4)
+
+    plain = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=8)
+    want = plain.run(pages, max_new_tokens=12, ngram_size=3)
+
+    engine = ContinuousOCREngine(
+        pipe, slots=2, capacity=128, chunk_steps=8, lookup_chunk=4
+    )
+    got = engine.run(pages, max_new_tokens=12, ngram_size=3)
+
+    for i, (w, g) in enumerate(zip(want, got)):
+        assert g is not None, i
+        assert g.token_ids == w.token_ids, (i, w.token_ids, g.token_ids)
+        assert g.text == w.text
+    assert engine.last_lookup_forwards > 0
+
+
+def test_continuous_lookup_small_pool_preemption_exact(setup):
+    """Lookup decoding over a tight pool (page growth + preemption in play,
+    speculative K/V writes spilling into the scratch page near limits) must
+    stay token-exact vs the plain engine."""
+    cfg, pipe = setup
+    pages = _pages(4)
+    plain = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    want = plain.run(pages, max_new_tokens=9, ngram_size=3)
+    engine = ContinuousOCREngine(
+        pipe, slots=2, capacity=128, chunk_steps=4, page_size=16,
+        pool_tokens=192, lookup_chunk=3,
+    )
+    got = engine.run(pages, max_new_tokens=9, ngram_size=3)
+    for w, g in zip(want, got):
+        assert g is not None
+        assert g.token_ids == w.token_ids
+
+
+def test_continuous_lookup_int8_runs(setup):
+    """Full-scope int8 through the chunked paged path (q8 qkv/wo/ffn at
+    chunk width) must produce the same tokens as plain int8 continuous."""
+    from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+
+    cfg, pipe = setup
+    qparams = dict(pipe.params)
+    qparams["lm"] = dsv2.quantize_lm_params(pipe.params["lm"], scope="full")
+    qpipe = OCR2Pipeline(
+        qparams, cfg, pipe.tokenizer, kv_dtype="float32", act_dtype="float32"
+    )
+    pages = _pages(2)
+    plain = ContinuousOCREngine(qpipe, slots=2, capacity=128, chunk_steps=4)
+    want = plain.run(pages, max_new_tokens=6, ngram_size=0)
+    engine = ContinuousOCREngine(
+        qpipe, slots=2, capacity=128, chunk_steps=4, lookup_chunk=3
+    )
+    got = engine.run(pages, max_new_tokens=6, ngram_size=0)
+    for w, g in zip(want, got):
+        assert g is not None
+        assert g.token_ids == w.token_ids
+
+
+def test_continuous_lookup_rejects_sampling(setup):
+    cfg, pipe = setup
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, lookup_chunk=4)
+    with pytest.raises(ValueError):
+        engine.run(_pages(1), max_new_tokens=4, sampling=dict(temperature=1.0))
+
+
+def test_continuous_no_mutual_preemption_livelock(setup):
+    """Regression: two slots in a pool too small for both to finish used to
+    evict EACH OTHER forever (A grows -> preempts B; B re-admits, grows ->
+    preempts A; repeat). Growth now only preempts strictly-younger slots
+    (self-preempting when none exist), so the oldest sequence always
+    finishes and the run terminates — token-exact vs the plain engine."""
+    import signal
+
+    cfg, pipe = setup
+    pages = _pages(4)
+
+    def _bail(signum, frame):
+        raise TimeoutError("continuous engine livelocked (mutual preemption)")
+
+    old = signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(1200)
+    try:
+        # The reproducing config: both crop pages admit at 5 pages, both
+        # need a 6th to finish, pool holds 10.
+        plain = ContinuousOCREngine(
+            pipe, slots=2, capacity=128, chunk_steps=32, page_size=16,
+            pool_tokens=160,
+        )
+        want = plain.run(pages, max_new_tokens=48, ngram_size=3)
+        engine = ContinuousOCREngine(
+            pipe, slots=2, capacity=128, chunk_steps=32, page_size=16,
+            pool_tokens=160, lookup_chunk=4,
+        )
+        got = engine.run(pages, max_new_tokens=48, ngram_size=3)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    for w, g in zip(want, got):
+        assert g is not None
+        assert g.token_ids == w.token_ids

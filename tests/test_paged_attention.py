@@ -127,3 +127,120 @@ def test_paged_pool_kernel_matches_layer_slice():
             )
         )
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5, err_msg=f"layer {li}")
+
+
+def test_paged_pool_chunk_kernel_matches_oracles():
+    """Chunk-query pool kernel == XLA gather oracle == per-query 1-token
+    kernel calls (each chunk query with its own causal budget)."""
+    from deepseek_ocr2_tpu.ops.paged_attention import (
+        paged_decode_attention_pool_chunk,
+        paged_decode_attention_xla_chunk,
+    )
+
+    n_layers, b, s_q, hh, d, page, n_pool, max_pages = 2, 3, 4, 4, 128, 64, 24, 5
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, s_q, hh, d), jnp.float32)
+    k_pool = jax.random.normal(ks[1], (n_layers, n_pool, hh, page, d), jnp.float32)
+    v_pool = jax.random.normal(ks[2], (n_layers, n_pool, hh, page, d), jnp.float32)
+    rng = np.random.default_rng(7)
+    tables = jnp.asarray(
+        rng.permutation(n_pool)[: b * max_pages].reshape(b, max_pages), jnp.int32
+    )
+    # Per-query budgets: query i sits one position after i-1 (rows at very
+    # different lengths, crossing page boundaries).
+    base = jnp.asarray([1, page - 2, 3 * page + 5], jnp.int32)
+    seq_lens = base[:, None] + jnp.arange(s_q, dtype=jnp.int32)[None, :]
+
+    for li in range(n_layers):
+        want = np.asarray(
+            paged_decode_attention_xla_chunk(
+                q, k_pool[li], v_pool[li], tables, seq_lens, scale=1 / math.sqrt(d)
+            )
+        )
+        got = np.asarray(
+            paged_decode_attention_pool_chunk(
+                q, k_pool, v_pool, tables, seq_lens, jnp.int32(li),
+                scale=1 / math.sqrt(d), interpret=INTERPRET,
+            )
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=2e-5, atol=2e-5, err_msg=f"layer {li}"
+        )
+        # Cross-check each query against the single-token kernel.
+        from deepseek_ocr2_tpu.ops.paged_attention import paged_decode_attention
+
+        for i in range(s_q):
+            one = np.asarray(
+                paged_decode_attention(
+                    q[:, i], k_pool[li], v_pool[li], tables, seq_lens[:, i],
+                    scale=1 / math.sqrt(d), interpret=INTERPRET,
+                )
+            )
+            np.testing.assert_allclose(
+                got[:, i], one, rtol=2e-5, atol=2e-5, err_msg=f"layer {li} q {i}"
+            )
+
+
+def test_paged_chunk_step_matches_single_steps():
+    """lm_decode_step_paged with S>1 (speculative chunk) == S sequential
+    1-token paged steps when the fed tokens coincide (full acceptance)."""
+    cfg = tiny_lm_config()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, dsv2.init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    )
+    b, s, page, chunk = 2, 9, 8, 3
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    embeds = jnp.take(params["embed"], ids, axis=0)
+
+    cap = 32
+    cache = make_kv_cache(
+        cfg.num_hidden_layers, b, cfg.num_attention_heads, cap, cfg.head_dim, jnp.float32
+    )
+    _, cache = dsv2.lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+
+    n_pages_per = paged_kv.pages_for(cap, page)
+    n_pool = 2 * n_pages_per + 1
+    pool_a = paged_kv.make_paged_kv_cache(
+        cfg.num_hidden_layers, n_pool, cfg.num_attention_heads, page, cfg.head_dim,
+        jnp.float32,
+    )
+    alloc = paged_kv.PageAllocator(n_pool)
+    tables = []
+    for slot in range(b):
+        pages = alloc.allocate(n_pages_per)
+        for key in ("k", "v"):
+            pool_a[key] = paged_kv.write_prompt_pages(
+                pool_a[key], cache[key][:, slot : slot + 1],
+                jnp.asarray(pages, jnp.int32), s,
+            )
+        tables.append(pages)
+    tables = jnp.asarray(tables, jnp.int32)
+    pool_b = jax.tree_util.tree_map(lambda a: a, pool_a)
+
+    # Feed the same `chunk` token ids both ways from per-row ragged starts.
+    feed = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, chunk)), jnp.int32)
+    pos0 = jnp.asarray([s, s - 3], jnp.int32)
+
+    emb = jnp.take(params["embed"], feed, axis=0)  # [B, chunk, H]
+    h_chunk, pool_a = paged_kv.lm_decode_step_paged(
+        params, cfg, emb, pool_a, tables, pos0, use_pallas=False
+    )
+
+    outs = []
+    for i in range(chunk):
+        emb_i = jnp.take(params["embed"], feed[:, i], axis=0)[:, None, :]
+        h_i, pool_b = paged_kv.lm_decode_step_paged(
+            params, cfg, emb_i, pool_b, tables, pos0 + i, use_pallas=False
+        )
+        outs.append(np.asarray(h_i[:, 0]))
+
+    np.testing.assert_allclose(
+        np.asarray(h_chunk), np.stack(outs, axis=1), rtol=2e-4, atol=2e-4
+    )
+    # K/V entries cascade the same chunk-width GEMM rounding as the hidden
+    # states (XLA fuses the s=3 and s=1 elementwise chains differently).
+    for key in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(pool_a[key]), np.asarray(pool_b[key]), rtol=2e-4, atol=2e-4
+        )
