@@ -19,6 +19,8 @@ run sam_phases_base 1200 python scripts/bench_sam_phases.py
 run sam_phases_relwin 1200 env DEEPSEEK_SAM_WIN_KERNEL=1 python scripts/bench_sam_phases.py
 run sam_ablate 1500 python scripts/bench_sam_ablate.py
 run gmm_bm 1500 python scripts/bench_gmm_bm.py
+run tests_paged_chunk 1500 python -m pytest tests/test_paged_attention.py tests/test_continuous.py::test_continuous_lookup_token_exact -x -q
 run lookup_decode 1800 python scripts/bench_lookup_decode.py
+run continuous_lookup 1800 python scripts/bench_continuous_lookup.py
 run bench 3000 python bench.py
 echo "ALL DONE $(date -u)" >> $log/status.txt
