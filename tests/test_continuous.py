@@ -296,3 +296,82 @@ def test_continuous_no_mutual_preemption_livelock(setup):
     for w, g in zip(want, got):
         assert g is not None
         assert g.token_ids == w.token_ids
+
+
+def test_continuous_lookup_accelerates_deterministic_cycle():
+    """Engine-level proof the paged speculative path actually accelerates:
+    the Markov LM from test_lookup_decode (zeroed attention/MLP, embed ->
+    lm_head maps t to t+1 mod period) emits a strict cycle, so after the
+    prompt every draft must accept and decode_chunk_lookup must emit
+    chunk tokens per forward (attention is zeroed, so the synthetic paged
+    pool contents are irrelevant by construction)."""
+    from deepseek_ocr2_tpu.configs import tiny_lm_config
+    from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+    from deepseek_ocr2_tpu.runtime.continuous import decode_chunk_lookup
+    from deepseek_ocr2_tpu.runtime.paged_kv import make_paged_kv_cache, pages_for
+
+    cfg = tiny_lm_config(num_hidden_layers=2)
+    params = dsv2.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    h, period = cfg.hidden_size, 24
+    assert period <= h
+
+    emb = np.zeros((cfg.vocab_size, h), np.float32)
+    for t in range(period):
+        emb[t, t % h] = 1.0
+    lm_head = np.zeros((h, cfg.vocab_size), np.float32)
+    for t in range(period):
+        lm_head[t, (t + 1) % period] = 1.0
+
+    def zeroed(tree):
+        return jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), tree)
+
+    params = dict(params)
+    params["embed"] = jnp.asarray(emb)
+    params["lm_head"] = jnp.asarray(lm_head)
+    params["layers_dense"] = zeroed(params["layers_dense"])
+    lm = {
+        k: zeroed(params["layers_moe"][k]) for k in ("attn", "experts", "shared")
+    }
+    params["layers_moe"] = {**params["layers_moe"], **lm}
+
+    prompt = list(range(period)) + list(range(4))
+    s_len = len(prompt)
+    b, tok_cap, page, chunk, n_steps = 2, 256, 64, 6, 16
+    max_new = n_steps * chunk  # 96: full acceptance covers it exactly
+
+    toks = np.zeros((b, tok_cap), np.int32)
+    toks[:, :s_len] = prompt
+    n_pages_per = pages_for(tok_cap, page)
+    cache = make_paged_kv_cache(
+        cfg.num_hidden_layers, b * n_pages_per + 1, cfg.num_attention_heads,
+        page, cfg.head_dim, jnp.float32,
+    )
+    tables = jnp.asarray(
+        np.arange(1, b * n_pages_per + 1, dtype=np.int32).reshape(b, n_pages_per)
+    )
+
+    _, tokens, cur_lens, done, status = decode_chunk_lookup(
+        params,
+        cache,
+        jnp.asarray(toks),
+        jnp.full((b,), s_len, jnp.int32),
+        jnp.zeros((b,), bool),
+        jnp.full((b,), s_len + max_new, jnp.int32),
+        tables,
+        cfg,
+        n_steps=n_steps,
+        chunk=chunk,
+        match_n=2,
+        ngram_size=0,
+        eos_id=255,
+    )
+    status = np.asarray(status)
+    forwards = int(status[2 * b])
+    want = [(3 + i + 1) % period for i in range(max_new)]
+    for row in range(b):
+        assert int(status[row]) == s_len + max_new
+        np.testing.assert_array_equal(
+            np.asarray(tokens)[row, s_len : s_len + max_new], want
+        )
+    # Full acceptance: 96 tokens in exactly n_steps=16 chunk forwards.
+    assert forwards <= n_steps + 1, f"speculation did not accelerate: {forwards}"
