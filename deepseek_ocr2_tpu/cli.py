@@ -209,7 +209,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("serve", help="Batched multi-page OCR over a directory of images")
     common_gen(sp, ocr=True)
-    sp.add_argument("--images", required=True, nargs="+", help="image files")
+    sp.add_argument("--images", nargs="+", default=[], help="image files")
+    sp.add_argument(
+        "--http",
+        action="store_true",
+        help="serve an HTTP API (POST /v1/ocr) over the ONLINE continuous "
+        "engine instead of a fixed image list",
+    )
+    sp.add_argument("--host", default="127.0.0.1", help="HTTP bind host")
+    sp.add_argument("--port", type=int, default=8000, help="HTTP bind port")
+    sp.add_argument(
+        "--include-token-ids",
+        action="store_true",
+        help="include token ids in HTTP responses",
+    )
     sp.add_argument("--batch-size", type=int, default=8)
     sp.add_argument("--no-crop", action="store_true")
     sp.add_argument("--rotate", choices=["0", "90", "180", "270"], default="0")
@@ -485,6 +498,41 @@ def cmd_serve(args) -> int:
             file=sys.stderr,
         )
         lookup_chunk = 0
+    if args.http:
+        from .runtime.continuous import ContinuousOCREngine
+        from .runtime.http_server import OCRHttpServer
+
+        engine = ContinuousOCREngine(
+            pipe,
+            slots=args.batch_size,
+            capacity=args.capacity,
+            page_size=args.page_size,
+            pool_tokens=args.pool_tokens,
+            lookup_chunk=lookup_chunk,
+        )
+        engine.start(ngram_size=args.no_repeat_ngram_size, sampling=sampling)
+        server = OCRHttpServer(
+            engine,
+            host=args.host,
+            port=args.port,
+            include_token_ids=args.include_token_ids,
+        )
+        print(
+            f"serving OCR at http://{args.host}:{server.port}/v1/ocr "
+            f"(slots={args.batch_size}, lookup={lookup_chunk or 'off'}); Ctrl-C to stop",
+            file=sys.stderr,
+        )
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            engine.stop(timeout=120)
+        return 0
+    if not args.images:
+        print("error: --images is required unless --http is set", file=sys.stderr)
+        return 2
     if args.continuous:
         from .runtime.continuous import ContinuousOCREngine
 

@@ -300,6 +300,53 @@ def _pow2_at_most(n: int) -> int:
         p *= 2
     return p
 
+class OCRRequest:
+    """One OCR request flowing through the continuous engine.
+
+    Returned by `ContinuousOCREngine.submit` (online serving); also the
+    internal unit of the batch `run` path. `result(timeout)` blocks until
+    the page finishes and returns the GenerationResult (re-raising any
+    per-request failure, e.g. an unreadable image).
+    """
+
+    __slots__ = (
+        "image", "prompt", "max_new_tokens", "no_crop", "rotate",
+        "auto_rotate", "seq", "pre", "_result", "error", "_event",
+    )
+
+    def __init__(
+        self, image, prompt: str, max_new_tokens: int, no_crop: bool,
+        rotate: int, auto_rotate: bool, seq: int,
+    ):
+        import threading
+
+        self.image = image
+        self.prompt = prompt
+        self.max_new_tokens = max_new_tokens
+        self.no_crop = no_crop
+        self.rotate = rotate
+        self.auto_rotate = auto_rotate
+        self.seq = seq  # seeds per-request sampling streams
+        self.pre = None  # preprocessed (base, patches, ratio) when ready
+        self._result: Optional[GenerationResult] = None
+        self.error: Optional[Exception] = None
+        self._event = threading.Event()
+
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def result(self, timeout: Optional[float] = None) -> GenerationResult:
+        if not self._event.wait(timeout):
+            raise TimeoutError("OCR request still in flight")
+        if self.error is not None:
+            raise self.error
+        return self._result  # type: ignore[return-value]
+
+    def _finish(self, result=None, error=None):
+        self._result = result
+        self.error = error
+        self._event.set()
+
 
 class ContinuousOCREngine:
     """Continuous batching over the OCR pipeline, paged KV, batched admits.
@@ -308,6 +355,15 @@ class ContinuousOCREngine:
     less memory than the contiguous engine; pass less for memory-elastic
     serving — each page only ever holds ceil((prompt+max_new)/page_size)
     pages, and pages recycle at completion).
+
+    Two entry points share one serve loop:
+    - `run(images, ...)`: batch mode — admit everything, return when done.
+    - `start()` / `submit(image, ...)` / `stop()`: ONLINE mode — a worker
+      thread runs the loop forever; requests enqueue at any time, batch
+      continuously with whatever is in flight, and resolve through their
+      OCRRequest future. Per-request prompt / max_new_tokens / rotate
+      options are supported (admission groups key on (crop grid, prompt),
+      so mixed traffic costs no extra compiles beyond its distinct shapes).
     """
 
     def __init__(
@@ -321,6 +377,8 @@ class ContinuousOCREngine:
         lookup_chunk: int = 0,
         lookup_match_n: int = 3,
     ):
+        import threading
+
         self.pipe = pipe
         self.slots = slots
         self.capacity = capacity
@@ -348,6 +406,15 @@ class ContinuousOCREngine:
                 f"capacity {capacity} (page_size {page_size}); preemption "
                 f"could not guarantee progress"
             )
+        self._cv = threading.Condition()
+        self._pending: List[OCRRequest] = []
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self._seq = 0
+        self.last_preempted = 0
+        self.last_lookup_forwards = 0
+
+    # ---- public API -----------------------------------------------------
 
     def run(
         self,
@@ -360,12 +427,94 @@ class ContinuousOCREngine:
         auto_rotate: bool = False,
         sampling: Optional[dict] = None,
     ) -> List[GenerationResult]:
+        """Batch mode: OCR every image, in admission-friendly order, and
+        return results positionally."""
+        if self._thread is not None:
+            raise RuntimeError("engine is running online; use submit()")
+        # Per-run seq 0..n-1 keeps the per-page sampling streams identical
+        # across repeated run() calls (online submissions use a global seq).
+        reqs = [
+            self._make_request(
+                img, prompt, max_new_tokens, no_crop, rotate, auto_rotate, seq=i
+            )
+            for i, img in enumerate(images)
+        ]
+        with self._cv:
+            self._pending.extend(reqs)
+        self._serve(ngram_size=ngram_size, sampling=sampling, online=False)
+        for r in reqs:
+            if r.error is not None:
+                raise r.error
+        return [r.result(timeout=0) for r in reqs]
+
+    def start(self, ngram_size: int = 20, sampling: Optional[dict] = None):
+        """Online mode: spawn the serve loop; submit() feeds it."""
+        import threading
+
+        if self._thread is not None:
+            raise RuntimeError("engine already started")
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._serve,
+            kwargs=dict(ngram_size=ngram_size, sampling=sampling, online=True),
+            daemon=True,
+        )
+        self._thread.start()
+        return self
+
+    def submit(
+        self,
+        image,
+        prompt: Optional[str] = None,
+        max_new_tokens: int = 512,
+        no_crop: bool = False,
+        rotate: int = 0,
+        auto_rotate: bool = False,
+    ) -> OCRRequest:
+        """Enqueue one page; returns its OCRRequest future."""
+        if self._thread is None:
+            raise RuntimeError("engine not started; call start() first")
+        req = self._make_request(
+            image, prompt, max_new_tokens, no_crop, rotate, auto_rotate
+        )
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("engine is stopping")
+            self._pending.append(req)
+            self._cv.notify_all()
+        return req
+
+    def stop(self, timeout: Optional[float] = None):
+        """Drain in-flight work and stop the online serve loop."""
+        if self._thread is None:
+            return
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout)
+        self._thread = None
+
+    # ---- internals --------------------------------------------------------
+
+    def _make_request(
+        self, image, prompt, max_new_tokens, no_crop, rotate, auto_rotate,
+        seq: Optional[int] = None,
+    ) -> OCRRequest:
+        prompt = prompt or self.pipe.cfg.default_ocr_prompt
+        if seq is None:
+            with self._cv:
+                seq = self._seq
+                self._seq += 1
+        return OCRRequest(
+            image, prompt, max_new_tokens, no_crop, int(rotate), auto_rotate, seq
+        )
+
+    def _serve(self, ngram_size: int, sampling: Optional[dict], online: bool):
         pipe = self.pipe
         cfg = pipe.cfg
         lm = pipe.params["lm"]
         lm_cfg = cfg.lm
         b, tok_cap, page = self.slots, self.capacity, self.page_size
-        prompt = prompt or cfg.default_ocr_prompt
         eos = cfg.eos_token_id
         sampling = sampling or {}
         samp_static = dict(
@@ -400,33 +549,36 @@ class ContinuousOCREngine:
         done_np = np.ones((b,), bool)
         lens_np = np.zeros((b,), np.int32)
 
-        pending = list(range(len(images)))
-        slot_page: Dict[int, int] = {}
+        cv = self._cv
+        pending = self._pending  # guarded by cv
+        slot_req: Dict[int, OCRRequest] = {}
         slot_pages: Dict[int, List[int]] = {}
         prompt_lens: Dict[int, int] = {}
         slot_limits: Dict[int, int] = {}
         admit_t: Dict[int, float] = {}
         prefill_t: Dict[int, float] = {}
-        results: List[Optional[GenerationResult]] = [None] * len(images)
         n_preempted = 0
 
-        def admit_group(slot_ids: List[int], page_idxs: List[int]):
+        def group_key(req: OCRRequest):
+            return (req.pre[2], req.prompt)
+
+        def admit_group(slot_ids: List[int], reqs: List[OCRRequest]):
             """One batched vision + LM prefill + pool scatter for a group of
-            pages sharing a crop grid."""
+            pages sharing a crop grid and prompt (max_new may vary)."""
             nonlocal cache, tokens, cur_lens, limits, done, seeds
             t0 = time.perf_counter()
-            g = len(page_idxs)
-            pre = [preprocessed.pop(p) for p in page_idxs]
+            g = len(reqs)
+            pre = [r.pre for r in reqs]
+            for r in reqs:
+                r.pre = None  # free pixels; re-preprocess on preemption
             crop_ratio = pre[0][2]
-            ids, _, image_start = tokenize_with_image(pipe.tokenizer, prompt, cfg, crop_ratio)
-            s = len(ids)
-            assert s + max_new_tokens <= tok_cap, "engine capacity too small"
-            n_prompt_pages = pages_for(s, page)
-            # Lazy allocation: prompt + first token + first chunk only;
-            # grow_pages() tops slots up before every later chunk.
-            n_alloc_pages = pages_for(
-                min(s + 1 + self.dispatch_tokens, s + max_new_tokens), page
+            ids, _, image_start = tokenize_with_image(
+                pipe.tokenizer, reqs[0].prompt, cfg, crop_ratio
             )
+            s = len(ids)
+            for r in reqs:
+                assert s + r.max_new_tokens <= tok_cap, "engine capacity too small"
+            n_prompt_pages = pages_for(s, page)
             prefill_cap = n_prompt_pages * page
 
             bases = np.concatenate([p[0] for p in pre])  # [G, 3, S, S]
@@ -456,27 +608,32 @@ class ContinuousOCREngine:
                 ngram_size=ngram_size,
                 eos_id=eos,
             )
-            # Per-group page allocation + block tables (host).
+            # Per-group page allocation + block tables (host). Lazy: prompt +
+            # first token + first chunk only; grow_pages() tops slots up.
             page_ids = np.zeros((g, n_prompt_pages), np.int32)
-            for row, (slot, p_idx) in enumerate(zip(slot_ids, page_idxs)):
+            for row, (slot, req) in enumerate(zip(slot_ids, reqs)):
+                n_alloc_pages = pages_for(
+                    min(s + 1 + self.dispatch_tokens, s + req.max_new_tokens), page
+                )
                 pages = alloc.allocate(n_alloc_pages)
                 slot_pages[slot] = pages
                 block_tables_np[slot] = 0
                 block_tables_np[slot, : len(pages)] = pages
                 page_ids[row] = pages[:n_prompt_pages]
-                slot_page[slot] = p_idx
+                slot_req[slot] = req
                 prompt_lens[slot] = s
-                slot_limits[slot] = s + max_new_tokens
+                slot_limits[slot] = s + req.max_new_tokens
 
             group_tokens = np.zeros((g, tok_cap), np.int32)
             group_tokens[:, :s] = np.asarray(ids, np.int32)
             group_tokens_j = jnp.asarray(group_tokens).at[jnp.arange(g), s].set(first)
-            done0 = jnp.logical_or(first == eos, max_new_tokens <= 1)
+            max_new_arr = jnp.asarray([r.max_new_tokens for r in reqs], jnp.int32)
+            done0 = jnp.logical_or(first == eos, max_new_arr <= 1)
             group_seeds = jnp.asarray(
-                [base_seed + p_idx for p_idx in page_idxs], jnp.int32
+                [base_seed + r.seq for r in reqs], jnp.int32
             )
             (
-                ck, cv, tokens, cur_lens, limits, done, seeds
+                ck, cv_, tokens, cur_lens, limits, done, seeds
             ) = insert_group(
                 cache["k"],
                 cache["v"],
@@ -491,16 +648,16 @@ class ContinuousOCREngine:
                 limits,
                 done,
                 seeds,
-                jnp.full((g,), s + max_new_tokens, jnp.int32),
+                jnp.int32(s) + max_new_arr,
                 group_seeds,
                 prompt_len=s,
             )
-            cache = {"k": ck, "v": cv}
+            cache = {"k": ck, "v": cv_}
             # Barrier (block_until_ready does not sync on this platform) +
             # freeze host-side done view for slots finishing on token 1.
             done0_h = np.asarray(done0)
             dt = time.perf_counter() - t0
-            for row, (slot, p_idx) in enumerate(zip(slot_ids, page_idxs)):
+            for row, slot in enumerate(slot_ids):
                 done_np[slot] = bool(done0_h[row])
                 lens_np[slot] = s + 1
                 admit_t[slot] = time.perf_counter()
@@ -512,94 +669,129 @@ class ContinuousOCREngine:
         # releases the GIL, and the native resize path runs in C). Admission
         # then usually finds its pages ready instead of stalling the decoder
         # on host pixel work.
-        import threading
-
-        preprocessed: Dict[int, tuple] = {}
         pre_in_flight: set = set()
-        pre_cv = threading.Condition()
-        pre_stop = False
+        serve_done = False
         pre_ahead = max(2 * b, 8)
 
-        def _preprocess(p):
+        def _preprocess(req: OCRRequest):
             return pipe.preprocess_image(
-                images[p], no_crop=no_crop, rotate=rotate, auto_rotate=auto_rotate
+                req.image,
+                no_crop=req.no_crop,
+                rotate=req.rotate,
+                auto_rotate=req.auto_rotate,
             )
 
         def _prefetch_worker():
             while True:
-                with pre_cv:
-                    if pre_stop:
+                with cv:
+                    if serve_done:
                         return
                     target = next(
                         (
-                            p
-                            for p in list(pending[:pre_ahead])
-                            if p not in preprocessed and p not in pre_in_flight
+                            r
+                            for r in pending[:pre_ahead]
+                            if r.pre is None and r not in pre_in_flight
                         ),
                         None,
                     )
                     if target is None:
-                        pre_cv.wait(timeout=0.02)
+                        cv.wait(timeout=0.02)
                         continue
                     pre_in_flight.add(target)
                 try:
                     out = _preprocess(target)
-                except Exception:
-                    # Leave the page un-preprocessed: ensure_preprocessed
-                    # will retry on the main thread and surface the error.
-                    out = None
-                with pre_cv:
-                    if out is not None:
-                        preprocessed[target] = out
+                except Exception as e:
+                    # Fail THIS request and drop it; retrying forever would
+                    # starve the main thread's in-flight wait (the worker can
+                    # re-acquire the lock and re-claim the request before the
+                    # waiter observes it free).
+                    with cv:
+                        pre_in_flight.discard(target)
+                        if target in pending:
+                            pending.remove(target)
+                        cv.notify_all()
+                    target._finish(error=e)
+                    continue
+                with cv:
+                    target.pre = out
                     pre_in_flight.discard(target)
-                    pre_cv.notify_all()
+                    cv.notify_all()
+
+        import threading
 
         prefetch_thread = threading.Thread(target=_prefetch_worker, daemon=True)
 
-        def ensure_preprocessed(page_idxs):
-            for p in page_idxs:
-                with pre_cv:
-                    while p in pre_in_flight:  # worker already on it
-                        pre_cv.wait()
-                    if p in preprocessed:
+        def ensure_preprocessed(reqs: List[OCRRequest]) -> List[OCRRequest]:
+            """Preprocess synchronously where the prefetcher hasn't; failed
+            requests resolve with their error and drop out of the queue."""
+            ok = []
+            for r in reqs:
+                with cv:
+                    while r in pre_in_flight:  # worker already on it
+                        cv.wait()
+                    if r.done():  # worker failed it (bad image)
                         continue
-                    pre_in_flight.add(p)
-                out = _preprocess(p)
-                with pre_cv:
-                    preprocessed[p] = out
-                    pre_in_flight.discard(p)
-                    pre_cv.notify_all()
+                    if r.pre is not None:
+                        ok.append(r)
+                        continue
+                    pre_in_flight.add(r)
+                try:
+                    out = _preprocess(r)
+                except Exception as e:  # unreadable image etc.
+                    with cv:
+                        pre_in_flight.discard(r)
+                        if r in pending:
+                            pending.remove(r)
+                        cv.notify_all()
+                    r._finish(error=e)
+                    continue
+                with cv:
+                    r.pre = out
+                    pre_in_flight.discard(r)
+                    cv.notify_all()
+                ok.append(r)
+            return ok
 
         def admit_pending():
             """Admit pending pages into free slots in power-of-two batches
-            grouped by crop grid (bounds vision-tower compile variants)."""
-            free = [s for s in range(b) if s not in slot_page]
-            while pending and free:
-                take = pending[: len(free)]
-                ensure_preprocessed(take)
-                # Group the head of the queue by ratio.
-                ratio0 = preprocessed[take[0]][2]
-                group = [p for p in take if preprocessed[p][2] == ratio0]
+            grouped by (crop grid, prompt) — bounds vision-tower compile
+            variants."""
+            free = [s for s in range(b) if s not in slot_req]
+            while free:
+                with cv:
+                    take = list(pending[: len(free)])
+                if not take:
+                    return
+                take = ensure_preprocessed(take)
+                if not take:
+                    continue  # failures dropped; look again
+                # Group the head of the queue by (ratio, prompt).
+                key0 = group_key(take[0])
+                group = [r for r in take if group_key(r) == key0]
                 g = _pow2_at_most(len(group))
                 group = group[:g]
                 # Check pool headroom for the whole group (lazy: prompt +
                 # first token + first chunk; grow_pages covers the rest).
                 ids, _, _ = tokenize_with_image(
-                    pipe.tokenizer, prompt, cfg, ratio0
+                    pipe.tokenizer, group[0].prompt, cfg, key0[0]
                 )
                 s0 = len(ids)
-                need_per = pages_for(
-                    min(s0 + 1 + self.dispatch_tokens, s0 + max_new_tokens), page
-                )
+                needs = [
+                    pages_for(
+                        min(s0 + 1 + self.dispatch_tokens, s0 + r.max_new_tokens),
+                        page,
+                    )
+                    for r in group
+                ]
                 # Degrade to smaller power-of-two batches when the pool is
                 # tight: the constructor guarantees a single slot fits, so
                 # halving always reaches a feasible group before g == 0.
-                while g > 1 and need_per * g > alloc.n_free:
+                while g > 1 and sum(needs[:g]) > alloc.n_free:
                     g //= 2
                 group = group[:g]
-                need = need_per * g
+                need = sum(needs[:g])
                 if need > alloc.n_free:
-                    if not slot_page:
+                    if not slot_req:
                         raise RuntimeError(
                             f"KV page pool too small: a single admission group needs "
                             f"{need} pages, pool has {alloc.n_free} free "
@@ -608,15 +800,16 @@ class ContinuousOCREngine:
                     return  # wait for completions to free pages
                 slot_ids = free[:g]
                 admit_group(slot_ids, group)
-                for p in group:
-                    pending.remove(p)
+                with cv:
+                    for r in group:
+                        pending.remove(r)
                 free = free[g:]
 
         def preempt(slot: int):
-            """Evict an active slot: free its pages, re-queue its page for
+            """Evict an active slot: free its pages, re-queue its request for
             re-admission (deterministic decode reproduces its tokens)."""
             nonlocal done, n_preempted
-            page_idx = slot_page.pop(slot)
+            req = slot_req.pop(slot)
             alloc.release(slot_pages.pop(slot))
             block_tables_np[slot] = 0
             prompt_lens.pop(slot)
@@ -625,8 +818,11 @@ class ContinuousOCREngine:
             prefill_t.pop(slot)
             done_np[slot] = True
             done = done.at[slot].set(True)
-            pending.insert(0, page_idx)
+            with cv:
+                pending.insert(0, req)
+                cv.notify_all()
             n_preempted += 1
+            self.last_preempted = n_preempted
 
         def grow_pages():
             """Top every active slot's block table up to the pages the next
@@ -639,8 +835,8 @@ class ContinuousOCREngine:
             drains: progress is guaranteed. A younger slot that finds no
             younger victim gives its own pages back (self-preempt) and waits
             for re-admission."""
-            for slot in sorted(slot_page, key=lambda s2: admit_t[s2]):
-                if slot not in slot_page or done_np[slot]:
+            for slot in sorted(slot_req, key=lambda s2: admit_t[s2]):
+                if slot not in slot_req or done_np[slot]:
                     continue
                 target = min(int(lens_np[slot]) + self.dispatch_tokens, slot_limits[slot])
                 needed = pages_for(target, page)
@@ -651,7 +847,7 @@ class ContinuousOCREngine:
                 while alloc.n_free < needed - have:
                     victims = [
                         s2
-                        for s2 in slot_page
+                        for s2 in slot_req
                         if s2 != slot
                         and not done_np[s2]
                         and admit_t[s2] > admit_t[slot]
@@ -660,7 +856,7 @@ class ContinuousOCREngine:
                         preempt(max(victims, key=lambda s2: admit_t[s2]))
                         continue
                     others = [
-                        s2 for s2 in slot_page if s2 != slot and not done_np[s2]
+                        s2 for s2 in slot_req if s2 != slot and not done_np[s2]
                     ]
                     if not others:
                         raise RuntimeError(
@@ -677,12 +873,12 @@ class ContinuousOCREngine:
                 block_tables_np[slot, have:needed] = extra
 
         def harvest():
-            """Finalize finished slots; free their pages."""
+            """Finalize finished slots; free their pages; resolve futures."""
             nonlocal tokens
             now = time.perf_counter()
-            for slot in list(slot_page):
+            for slot in list(slot_req):
                 if done_np[slot]:
-                    page_idx = slot_page.pop(slot)
+                    req = slot_req.pop(slot)
                     total = int(lens_np[slot])
                     all_ids = np.asarray(tokens[slot, :total]).tolist()
                     p_len = prompt_lens.pop(slot)
@@ -691,24 +887,46 @@ class ContinuousOCREngine:
                     text = decode_output(pipe.tokenizer, gen_ids, cfg.stop_string)
                     alloc.release(slot_pages.pop(slot))
                     block_tables_np[slot] = 0
-                    results[page_idx] = GenerationResult(
-                        text=text,
-                        token_ids=all_ids,
-                        prompt_len=p_len,
-                        prefill_seconds=prefill_t.pop(slot),
-                        decode_seconds=now - admit_t.pop(slot),
-                        new_tokens=len(gen_ids),
+                    req._finish(
+                        result=GenerationResult(
+                            text=text,
+                            token_ids=all_ids,
+                            prompt_len=p_len,
+                            prefill_seconds=prefill_t.pop(slot),
+                            decode_seconds=now - admit_t.pop(slot),
+                            new_tokens=len(gen_ids),
+                        )
                     )
+
+        def has_work():
+            with cv:
+                return bool(pending) or bool(slot_req)
+
+        def should_run():
+            if slot_req:
+                return True
+            with cv:
+                if pending:
+                    return True
+                if not online:
+                    return False
+                return not self._stop
 
         prefetch_thread.start()
         try:
-            while pending or slot_page:
+            while should_run():
+                if online and not has_work():
+                    # Idle: block until a submission (or stop) arrives.
+                    with cv:
+                        if not pending and not self._stop:
+                            cv.wait(timeout=0.05)
+                    continue
                 # In-flight slots get pages first; admission takes the
                 # leftovers (admitting into pages a live slot is about to
                 # need would just preempt the new arrival again).
                 grow_pages()
                 admit_pending()
-                if slot_page and not all(done_np[s] for s in slot_page):
+                if slot_req and not all(done_np[s] for s in slot_req):
                     if use_lookup:
                         cache, tokens, cur_lens, done, status = decode_chunk_lookup(
                             lm,
@@ -727,6 +945,7 @@ class ContinuousOCREngine:
                         )
                         status_h = np.asarray(status)
                         n_lookup_forwards += int(status_h[2 * b])
+                        self.last_lookup_forwards = n_lookup_forwards
                     else:
                         cache, tokens, cur_lens, done, status = decode_chunk(
                             lm,
@@ -748,10 +967,19 @@ class ContinuousOCREngine:
                     done_np[:] = status_h[b : 2 * b].astype(bool)
                 harvest()
         finally:
-            with pre_cv:
-                pre_stop = True
-                pre_cv.notify_all()
+            with cv:
+                serve_done = True
+                cv.notify_all()
             prefetch_thread.join(timeout=10.0)
+            # Resolve anything still queued (stop() with work left, or the
+            # loop died): futures must never hang.
+            with cv:
+                leftovers = list(pending)
+                pending.clear()
+            leftovers.extend(slot_req.values())
+            for r in leftovers:
+                if not r.done():
+                    r._finish(error=RuntimeError("engine stopped"))
 
         self.last_preempted = n_preempted
         # Measured speculative efficiency: accepted tokens (minus the one
@@ -759,4 +987,3 @@ class ContinuousOCREngine:
         # slot. Forwards still advance rows independently, so this is a
         # batch-level tokens-per-weight-pass figure.
         self.last_lookup_forwards = n_lookup_forwards
-        return results  # type: ignore[return-value]

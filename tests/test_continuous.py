@@ -375,3 +375,67 @@ def test_continuous_lookup_accelerates_deterministic_cycle():
         )
     # Full acceptance: 96 tokens in exactly n_steps=16 chunk forwards.
     assert forwards <= n_steps + 1, f"speculation did not accelerate: {forwards}"
+
+
+def test_online_submit_while_running(setup):
+    """ONLINE serving: requests submitted while the loop is decoding join
+    the running batch and resolve token-exact vs the single-page pipeline,
+    including mixed per-request max_new_tokens within one admission group."""
+    import time as _time
+
+    cfg, pipe = setup
+    pages = _pages(4)
+    budgets = [6, 9, 6, 5]
+
+    singles = [
+        pipe.generate_ocr(p, max_new_tokens=m, ngram_size=3)
+        for p, m in zip(pages, budgets)
+    ]
+
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    engine.start(ngram_size=3)
+    try:
+        futs = []
+        for p, m in zip(pages, budgets):
+            futs.append(engine.submit(p, max_new_tokens=m))
+            _time.sleep(0.05)  # land some submissions mid-decode
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        engine.stop(timeout=60)
+
+    for i, (s, r) in enumerate(zip(singles, results)):
+        assert r.token_ids == s.token_ids, (i, s.token_ids, r.token_ids)
+        assert r.text == s.text
+
+
+def test_online_bad_image_fails_only_that_request(setup):
+    """An unreadable image resolves ITS future with the error; other
+    requests are unaffected."""
+    cfg, pipe = setup
+    good = _pages(1)[0]
+    want = pipe.generate_ocr(good, max_new_tokens=4, ngram_size=0)
+
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    engine.start(ngram_size=0)
+    try:
+        bad = engine.submit("/nonexistent/page.png", max_new_tokens=4)
+        ok = engine.submit(good, max_new_tokens=4)
+        res = ok.result(timeout=300)
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+    finally:
+        engine.stop(timeout=60)
+    assert res.token_ids == want.token_ids
+
+
+def test_online_stop_drains(setup):
+    """stop() finishes queued work before the loop exits."""
+    cfg, pipe = setup
+    pages = _pages(2)
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    engine.start(ngram_size=0)
+    futs = [engine.submit(p, max_new_tokens=4) for p in pages]
+    engine.stop(timeout=300)
+    for f in futs:
+        assert f.done()
+        assert f.result(timeout=0).new_tokens >= 1
