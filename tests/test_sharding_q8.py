@@ -97,3 +97,69 @@ def test_sharded_batched_lookup_token_exact(setup):
         got_tok, got_n = _lookup(sharded, ids)
     assert np.array_equal(got_n, want_n)
     assert np.array_equal(got_tok, want_tok)
+
+
+def test_sharded_continuous_engine_token_exact():
+    """The continuous paged engine under a (4,2) TP/EP mesh must reproduce
+    the unsharded engine's tokens exactly — including the paged lookup
+    chunk path (chunk scatter + per-query budgets partitioned by GSPMD).
+
+    The engine creates its state arrays internally (uncommitted), so only
+    the LM params are committed to the mesh; jax.default_device pins the
+    uncommitted side to the same backend when the process default is a TPU.
+    """
+    import dataclasses
+
+    from PIL import Image
+
+    from deepseek_ocr2_tpu.configs import tiny_ocr2_config
+    from deepseek_ocr2_tpu.models import deepseek_ocr2 as ocr2
+    from deepseek_ocr2_tpu.parallel import lm_param_specs
+    from deepseek_ocr2_tpu.runtime.continuous import ContinuousOCREngine
+    from deepseek_ocr2_tpu.runtime.pipeline import OCR2Pipeline
+
+    import reference_torch_vision as refv
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+
+    cfg = dataclasses.replace(tiny_ocr2_config(), image_token_id=500)
+    flat = refv.random_ocr2_flat(cfg, seed=21)
+    params, report = ocr2.params_from_flat(flat, cfg)
+    report.raise_on_errors()
+
+    tok = Tokenizer(
+        tok_models.WordLevel(
+            {"<unk>": 2, "Free": 10, "OCR.": 11, "hello": 13}, unk_token="<unk>"
+        )
+    )
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+
+    rng = np.random.default_rng(9)
+    pages = [
+        Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8))
+        for _ in range(3)
+    ]
+
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        base = jax.tree_util.tree_map(jnp.asarray, params)
+        pipe = OCR2Pipeline(
+            base, cfg, tok, kv_dtype="float32", act_dtype="float32"
+        )
+        plain = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+        want = plain.run(pages, max_new_tokens=6, ngram_size=3)
+
+        mesh = make_mesh(dp=4, mp=2, devices=jax.devices("cpu")[:8])
+        sharded_lm = shard_params(base["lm"], mesh, lm_param_specs(cfg.lm))
+        spipe = OCR2Pipeline(
+            {**base, "lm": sharded_lm}, cfg, tok,
+            kv_dtype="float32", act_dtype="float32",
+        )
+        with mesh:
+            for lookup in (0, 3):
+                eng = ContinuousOCREngine(
+                    spipe, slots=2, capacity=128, chunk_steps=4,
+                    lookup_chunk=lookup,
+                )
+                got = eng.run(pages, max_new_tokens=6, ngram_size=3)
+                for w, g in zip(want, got):
+                    assert g.token_ids == w.token_ids, lookup
