@@ -53,7 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
         )
         sp.add_argument("--max-new-tokens", type=int, default=512 if ocr else 128)
         sp.add_argument("--eos-token-id", type=int, default=1)
-        sp.add_argument("--kv-cache", type=_dtype_arg, default="float32")
+        sp.add_argument(
+            "--kv-cache",
+            type=_kv_dtype_arg,
+            default="float32",
+            help="KV cache dtype (f32|f16|bf16; 'int8' quantizes the paged "
+            "pool for serve --continuous/--http: half the KV bytes and pool "
+            "memory, not token-exact)",
+        )
         sp.add_argument("--trim-memory", action="store_true")
         sp.add_argument(
             "--moe-int8",
@@ -255,6 +262,12 @@ def _int8_scope(args):
     if getattr(args, "moe_int8", False):
         return "experts"
     return None
+
+
+def _kv_dtype_arg(value: str) -> str:
+    if value.lower() == "int8":
+        return "int8"
+    return _dtype_arg(value)
 
 
 def _sampling_args(args):

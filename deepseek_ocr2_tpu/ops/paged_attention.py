@@ -590,3 +590,305 @@ def decode_attention_stacked(
         k_all,
         v_all,
     )
+
+
+def _paged_kernel_pool_q8(
+    # scalar prefetch
+    block_tables_ref,  # [B, max_pages] i32
+    seq_lens_ref,  # [B] i32
+    layer_ref,  # [1] i32
+    # inputs
+    q_ref,  # [1, Hh, D]
+    k_ref,  # [1, 1, 1, page, D] int8 (layer + page via index_map)
+    v_ref,  # int8
+    ks_ref,  # [1, 1, 1, page] f32 per-token scales
+    vs_ref,
+    # outputs
+    o_ref,  # [1, Hh, D]
+    # scratch
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    scale: float,
+    page_size: int,
+):
+    """int8-KV variant of _paged_kernel_pool: pages arrive as int8 plus a
+    per-(token, head) f32 scale row; dequant on the VPU feeds the same f32
+    streaming-softmax walk at HALF the HBM bytes per page."""
+    del layer_ref
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[0, 0] = NEG_INF
+        l_ref[0, 0] = 0.0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(p * page_size < seq_len)
+    def _():
+        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
+        ks = ks_ref[0, 0, 0].reshape(-1, 1)  # [page, 1] f32
+        vs = vs_ref[0, 0, 0].reshape(-1, 1)
+        k = k_ref[0, 0, 0].astype(jnp.float32) * ks  # [page, D]
+        v = v_ref[0, 0, 0].astype(jnp.float32) * vs
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+        k_pos = p * page_size + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+        s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
+
+        m_old = m_ref[0, 0]
+        m_new = jnp.maximum(m_old, jnp.max(s))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)
+        l_ref[0, 0] = alpha * l_ref[0, 0] + jnp.sum(p_ij)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[0, 0] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        denom = jnp.maximum(l_ref[0, 0], 1e-37)
+        o_ref[0, h] = (acc_ref[0] / denom).astype(o_ref.dtype)
+
+
+def paged_decode_attention_pool_q8(
+    q: jnp.ndarray,  # [B, Hh, D]
+    k_pool: jnp.ndarray,  # [L, P, Hh, page, D] int8
+    v_pool: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [L, P, Hh, page] f32
+    v_scale: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, max_pages] i32
+    seq_lens: jnp.ndarray,  # [B] i32
+    layer,  # scalar i32
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """paged_decode_attention_pool over an int8-quantized pool."""
+    b, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pool.shape[3]
+
+    def scale_spec():
+        return pl.BlockSpec(
+            (1, 1, 1, page_size),
+            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hh, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scale_spec(),
+            scale_spec(),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_kernel_pool_q8, scale=scale, page_size=page_size
+    )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, d), jnp.float32),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        layer_arr,
+        q,
+        k_pool,
+        v_pool,
+        k_scale,
+        v_scale,
+    )
+
+
+def _paged_kernel_pool_chunk_q8(
+    block_tables_ref,
+    seq_lens_ref,  # [B, S] i32 per-query budgets
+    layer_ref,
+    q_ref,  # [1, S, 1, D]
+    k_ref,  # [1, 1, 1, page, D] int8
+    v_ref,
+    ks_ref,  # [1, 1, 1, page] f32
+    vs_ref,
+    o_ref,  # [1, S, 1, D]
+    m_ref,  # [S, 1] f32 VMEM
+    l_ref,
+    acc_ref,  # [S, D]
+    *,
+    scale: float,
+    page_size: int,
+    n_queries: int,
+):
+    """int8-KV variant of _paged_kernel_pool_chunk (speculative chunks)."""
+    del layer_ref
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    max_len = seq_lens_ref[b, 0]
+    for i in range(1, n_queries):
+        max_len = jnp.maximum(max_len, seq_lens_ref[b, i])
+
+    @pl.when(p * page_size < max_len)
+    def _():
+        q = q_ref[0, :, 0, :].astype(jnp.float32)  # [S, D]
+        ks = ks_ref[0, 0, 0].reshape(-1, 1)
+        vs = vs_ref[0, 0, 0].reshape(-1, 1)
+        k = k_ref[0, 0, 0].astype(jnp.float32) * ks
+        v = v_ref[0, 0, 0].astype(jnp.float32) * vs
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)
+
+        budget = jnp.concatenate(
+            [seq_lens_ref[b, i].reshape(1, 1) for i in range(n_queries)], axis=0
+        )
+        k_pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1
+        )
+        s = jnp.where(k_pos < budget, s, jnp.float32(NEG_INF))
+
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p_ij, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+
+    @pl.when(p == n_pages - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-37)
+        o_ref[0, :, 0, :] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+def paged_decode_attention_pool_chunk_q8(
+    q: jnp.ndarray,  # [B, S, Hh, D]
+    k_pool: jnp.ndarray,  # [L, P, Hh, page, D] int8
+    v_pool: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [L, P, Hh, page] f32
+    v_scale: jnp.ndarray,
+    block_tables: jnp.ndarray,
+    seq_lens: jnp.ndarray,  # [B, S]
+    layer,
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """paged_decode_attention_pool_chunk over an int8-quantized pool."""
+    b, s_q, hh, d = q.shape
+    max_pages = block_tables.shape[1]
+    page_size = k_pool.shape[3]
+
+    def scale_spec():
+        return pl.BlockSpec(
+            (1, 1, 1, page_size),
+            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hh, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s_q, 1, d),
+                lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, page_size, d),
+                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scale_spec(),
+            scale_spec(),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s_q, 1, d),
+            lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s_q, 1), jnp.float32),
+            pltpu.VMEM((s_q, 1), jnp.float32),
+            pltpu.VMEM((s_q, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_kernel_pool_chunk_q8,
+        scale=scale,
+        page_size=page_size,
+        n_queries=s_q,
+    )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_q, hh, d), jnp.float32),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        layer_arr,
+        q,
+        k_pool,
+        v_pool,
+        k_scale,
+        v_scale,
+    )
+
+
+def dequant_pages(pages_i8: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """[..., page, D] int8 + [..., page] f32 -> f32 (XLA oracle/fallback)."""
+    return pages_i8.astype(jnp.float32) * scales[..., None]

@@ -58,7 +58,7 @@ from .paged_kv import (
     lm_decode_step_paged,
     make_paged_kv_cache,
     pages_for,
-    write_prompt_pages_batched,
+    write_prompt_pool_batched,
 )
 from .pipeline import GenerationResult, OCR2Pipeline
 
@@ -102,10 +102,9 @@ def admit_prefill(
     return cache["k"], cache["v"], tok
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 5), static_argnames=("prompt_len",))
+@functools.partial(jax.jit, donate_argnums=(0, 4), static_argnames=("prompt_len",))
 def insert_group(
-    pool_k,
-    pool_v,
+    cache,  # paged pool ({k, v} [+ k_scale, v_scale] when int8)
     k_new,  # [L, G, Hh, cap, D]
     v_new,
     page_ids,  # [G, n_prompt_pages] i32
@@ -122,16 +121,16 @@ def insert_group(
     *,
     prompt_len: int,
 ):
-    """Scatter an admission group's prompt KV into the pool and its decode
-    state into the shared slot arrays — one dispatch for the whole group."""
-    pool_k = write_prompt_pages_batched(pool_k, k_new, page_ids, prompt_len)
-    pool_v = write_prompt_pages_batched(pool_v, v_new, page_ids, prompt_len)
+    """Scatter an admission group's prompt KV into the pool (quantizing when
+    the pool is int8) and its decode state into the shared slot arrays — one
+    dispatch for the whole group."""
+    cache = write_prompt_pool_batched(cache, k_new, v_new, page_ids, prompt_len)
     tokens = tokens.at[slot_ids].set(group_tokens)
     state_cur_lens = state_cur_lens.at[slot_ids].set(jnp.int32(prompt_len + 1))
     state_limits = state_limits.at[slot_ids].set(group_limits)
     state_done = state_done.at[slot_ids].set(done0)
     state_seeds = state_seeds.at[slot_ids].set(group_seeds)
-    return pool_k, pool_v, tokens, state_cur_lens, state_limits, state_done, state_seeds
+    return cache, tokens, state_cur_lens, state_limits, state_done, state_seeds
 
 
 @functools.partial(
@@ -531,6 +530,13 @@ class ContinuousOCREngine:
             )
         n_lookup_forwards = 0
 
+        # int8 pools quantize at the pool boundary; the transient contiguous
+        # prefill cache stays in the activation float dtype.
+        prefill_kv_dtype = pipe.kv_dtype
+        if pipe.kv_dtype == "int8":
+            prefill_kv_dtype = (
+                "float32" if pipe.act_dtype == "float32" else "bfloat16"
+            )
         cache = make_paged_kv_cache(
             lm_cfg.num_hidden_layers,
             self.num_pages,
@@ -604,7 +610,7 @@ class ContinuousOCREngine:
                 embeds,
                 ids_arr,
                 capacity=prefill_cap,
-                kv_dtype=pipe.kv_dtype,
+                kv_dtype=prefill_kv_dtype,
                 ngram_size=ngram_size,
                 eos_id=eos,
             )
@@ -633,10 +639,9 @@ class ContinuousOCREngine:
                 [base_seed + r.seq for r in reqs], jnp.int32
             )
             (
-                ck, cv_, tokens, cur_lens, limits, done, seeds
+                cache, tokens, cur_lens, limits, done, seeds
             ) = insert_group(
-                cache["k"],
-                cache["v"],
+                cache,
                 k_new,
                 v_new,
                 jnp.asarray(page_ids),
@@ -652,7 +657,6 @@ class ContinuousOCREngine:
                 group_seeds,
                 prompt_len=s,
             )
-            cache = {"k": ck, "v": cv_}
             # Barrier (block_until_ready does not sync on this platform) +
             # freeze host-side done view for slots finishing on token 1.
             done0_h = np.asarray(done0)

@@ -25,8 +25,11 @@ from ..configs import DeepseekV2Config
 from ..ops.moe import moe_ffn_decode, route, swiglu
 from ..ops.norms import rms_norm
 from ..ops.paged_attention import (
+    dequant_pages,
     paged_decode_attention_pool,
     paged_decode_attention_pool_chunk,
+    paged_decode_attention_pool_chunk_q8,
+    paged_decode_attention_pool_q8,
     paged_decode_attention_xla,
     paged_decode_attention_xla_chunk,
 )
@@ -41,6 +44,8 @@ from ..models.deepseek_v2 import (
 )
 
 PagedKV = Dict[str, jnp.ndarray]  # {'k': [L, P, Hh, page, D], 'v': ...}
+# int8 pools additionally carry {'k_scale','v_scale'}: [L, P, Hh, page] f32
+# per-(token, head) symmetric absmax scales.
 
 
 def make_paged_kv_cache(
@@ -51,8 +56,32 @@ def make_paged_kv_cache(
     head_dim: int,
     dtype=jnp.bfloat16,
 ) -> PagedKV:
+    """Paged K/V pool. dtype 'int8' builds a QUANTIZED pool: K/V stored as
+    int8 with per-(token, head) f32 scales — half the HBM traffic per decode
+    step and half the pool memory of bf16 (the byte floor and the preemption
+    rate both drop). Opt-in: not token-exact vs the bf16/f32 pools."""
+    if jnp.dtype(dtype) == jnp.int8:
+        shape = (num_layers, num_pages, num_heads, page_size, head_dim)
+        sshape = (num_layers, num_pages, num_heads, page_size)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+        }
     shape = (num_layers, num_pages, num_heads, page_size, head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-vector int8 quantization over the trailing (head_dim)
+    axis: returns (q int8 [..., D], scale f32 [...]). Max elementwise error
+    is scale/2 = absmax/254."""
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 class PageAllocator:
@@ -112,19 +141,65 @@ def write_prompt_pages_batched(
     return pool.at[:, page_ids.reshape(-1)].set(kp.astype(pool.dtype))
 
 
+def write_prompt_scales_batched(
+    spool: jnp.ndarray,  # [L, P, Hh, page] f32
+    s_prompt: jnp.ndarray,  # [L, G, Hh, cap] per-token scales
+    page_ids: jnp.ndarray,  # [G, n_pages] i32
+    seq_len: int,
+) -> jnp.ndarray:
+    """Scatter an admission group's per-token K/V scales into the int8
+    pool's scale planes (same layout walk as write_prompt_pages_batched)."""
+    l, g, hh, cap = s_prompt.shape
+    page = spool.shape[3]
+    n_pages = page_ids.shape[1]
+    padded = n_pages * page
+    assert cap >= padded, (cap, padded)
+    sp = s_prompt[:, :, :, :padded]
+    sp = sp.reshape(l, g, hh, n_pages, page).transpose(0, 1, 3, 2, 4)
+    sp = sp.reshape(l, g * n_pages, hh, page)
+    return spool.at[:, page_ids.reshape(-1)].set(sp.astype(spool.dtype))
+
+
+def write_prompt_pool_batched(
+    cache: PagedKV,
+    k_new: jnp.ndarray,  # [L, G, Hh, cap, D] f32/bf16 contiguous prefill K
+    v_new: jnp.ndarray,
+    page_ids: jnp.ndarray,  # [G, n_pages] i32
+    seq_len: int,
+) -> PagedKV:
+    """Scatter an admission group's prompt K/V into the pool, quantizing on
+    the way in when the pool is int8."""
+    if "k_scale" in cache:
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        return {
+            "k": write_prompt_pages_batched(cache["k"], kq, page_ids, seq_len),
+            "v": write_prompt_pages_batched(cache["v"], vq, page_ids, seq_len),
+            "k_scale": write_prompt_scales_batched(
+                cache["k_scale"], ks, page_ids, seq_len
+            ),
+            "v_scale": write_prompt_scales_batched(
+                cache["v_scale"], vs, page_ids, seq_len
+            ),
+        }
+    return {
+        "k": write_prompt_pages_batched(cache["k"], k_new, page_ids, seq_len),
+        "v": write_prompt_pages_batched(cache["v"], v_new, page_ids, seq_len),
+    }
+
+
 def _paged_attention_step(
     xn: jnp.ndarray,  # [B, S, H] normed input (S==1 plain decode; S>1 chunk)
     attn,  # {"wq","wk","wv","wo"} bf16 or {"wqkv","wo"} q8
     cfg: DeepseekV2Config,
-    k_pool: jnp.ndarray,  # [L, P, Hh, page, D] full layer-stacked pool
-    v_pool: jnp.ndarray,
+    cache: PagedKV,  # full layer-stacked pool ({k,v} [+ k_scale,v_scale])
     li,  # scalar i32 layer index
     block_tables: jnp.ndarray,  # [B, max_pages]
     pos: jnp.ndarray,  # [B] position of xn[:, 0]
     cos_b: jnp.ndarray,  # broadcastable to [B, Hh, S, D]
     sin_b: jnp.ndarray,
     run_pallas: bool,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, PagedKV]:
     """QKV + per-slot RoPE + paged KV write + paged attention + out proj.
 
     Operates on the full pool in place: the K/V write is a per-(row, step)
@@ -139,6 +214,10 @@ def _paged_attention_step(
     prefix. Positions whose block-table entry is 0 (beyond a slot's
     allocation, or a finished slot) land in the reserved scratch page and
     are never read by an in-budget query.
+
+    int8 pools ({k_scale, v_scale} present): new K/V quantize on the way in
+    (per-(token, head) absmax scales) and the q8 kernels dequant per page on
+    the VPU — half the KV bytes per step.
     """
     b, s, h = xn.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
@@ -154,20 +233,47 @@ def _paged_attention_step(
     k32 = k.astype(jnp.float32) * cos_b + rot(k.astype(jnp.float32)) * sin_b
     v32 = v.astype(jnp.float32)
 
+    k_pool, v_pool = cache["k"], cache["v"]
+    quant = "k_scale" in cache
     page = k_pool.shape[3]
     rows = jnp.arange(b)
     if s == 1:
         seq_lens = pos + 1
         page_ids = block_tables[rows, pos // page]
         off = pos % page
-        k_pool = k_pool.at[li, page_ids, :, off, :].set(
-            k32[:, :, 0, :].astype(k_pool.dtype)
-        )
-        v_pool = v_pool.at[li, page_ids, :, off, :].set(
-            v32[:, :, 0, :].astype(v_pool.dtype)
-        )
+        if quant:
+            kq, ks = quantize_kv(k32[:, :, 0, :])  # [B, Hh, D] / [B, Hh]
+            vq, vs = quantize_kv(v32[:, :, 0, :])
+            k_pool = k_pool.at[li, page_ids, :, off, :].set(kq)
+            v_pool = v_pool.at[li, page_ids, :, off, :].set(vq)
+            k_sc = cache["k_scale"].at[li, page_ids, :, off].set(ks)
+            v_sc = cache["v_scale"].at[li, page_ids, :, off].set(vs)
+        else:
+            k_pool = k_pool.at[li, page_ids, :, off, :].set(
+                k32[:, :, 0, :].astype(k_pool.dtype)
+            )
+            v_pool = v_pool.at[li, page_ids, :, off, :].set(
+                v32[:, :, 0, :].astype(v_pool.dtype)
+            )
         q_dec = q32[:, :, 0, :]  # [B, Hh, D]
-        if run_pallas:
+        if quant and run_pallas:
+            ctx = paged_decode_attention_pool_q8(
+                q_dec, k_pool, v_pool, k_sc, v_sc, block_tables, seq_lens, li,
+                scale=scale,
+            )
+        elif quant:
+            k_layer = dequant_pages(
+                jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(k_sc, li, 0, keepdims=False),
+            )
+            v_layer = dequant_pages(
+                jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(v_sc, li, 0, keepdims=False),
+            )
+            ctx = paged_decode_attention_xla(
+                q_dec, k_layer, v_layer, block_tables, seq_lens, scale=scale
+            )
+        elif run_pallas:
             ctx = paged_decode_attention_pool(
                 q_dec, k_pool, v_pool, block_tables, seq_lens, li, scale=scale
             )
@@ -184,14 +290,39 @@ def _paged_attention_step(
         page_ids = block_tables[rows[:, None], posq // page]  # [B, S]
         off = posq % page
         # [B, S] (page, offset) scatter; values ordered [B, S, Hh, D].
-        k_pool = k_pool.at[li, page_ids, :, off, :].set(
-            k32.transpose(0, 2, 1, 3).astype(k_pool.dtype)
-        )
-        v_pool = v_pool.at[li, page_ids, :, off, :].set(
-            v32.transpose(0, 2, 1, 3).astype(v_pool.dtype)
-        )
+        if quant:
+            kq, ks = quantize_kv(k32.transpose(0, 2, 1, 3))  # [B,S,Hh,D]
+            vq, vs = quantize_kv(v32.transpose(0, 2, 1, 3))
+            k_pool = k_pool.at[li, page_ids, :, off, :].set(kq)
+            v_pool = v_pool.at[li, page_ids, :, off, :].set(vq)
+            k_sc = cache["k_scale"].at[li, page_ids, :, off].set(ks)
+            v_sc = cache["v_scale"].at[li, page_ids, :, off].set(vs)
+        else:
+            k_pool = k_pool.at[li, page_ids, :, off, :].set(
+                k32.transpose(0, 2, 1, 3).astype(k_pool.dtype)
+            )
+            v_pool = v_pool.at[li, page_ids, :, off, :].set(
+                v32.transpose(0, 2, 1, 3).astype(v_pool.dtype)
+            )
         q_chunk = q32.transpose(0, 2, 1, 3)  # [B, S, Hh, D]
-        if run_pallas:
+        if quant and run_pallas:
+            ctx = paged_decode_attention_pool_chunk_q8(
+                q_chunk, k_pool, v_pool, k_sc, v_sc, block_tables, seq_lens,
+                li, scale=scale,
+            )
+        elif quant:
+            k_layer = dequant_pages(
+                jax.lax.dynamic_index_in_dim(k_pool, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(k_sc, li, 0, keepdims=False),
+            )
+            v_layer = dequant_pages(
+                jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(v_sc, li, 0, keepdims=False),
+            )
+            ctx = paged_decode_attention_xla_chunk(
+                q_chunk, k_layer, v_layer, block_tables, seq_lens, scale=scale
+            )
+        elif run_pallas:
             ctx = paged_decode_attention_pool_chunk(
                 q_chunk, k_pool, v_pool, block_tables, seq_lens, li, scale=scale
             )
@@ -202,7 +333,11 @@ def _paged_attention_step(
                 q_chunk, k_layer, v_layer, block_tables, seq_lens, scale=scale
             )
         ctx = ctx.reshape(b, s, h).astype(xn.dtype)
-    return _o_proj(ctx, attn, decode=True), k_pool, v_pool
+    out_cache = {"k": k_pool, "v": v_pool}
+    if quant:
+        out_cache["k_scale"] = k_sc
+        out_cache["v_scale"] = v_sc
+    return _o_proj(ctx, attn, decode=True), out_cache
 
 
 def _chunk_rope(cos, sin, pos: jnp.ndarray, s: int):
@@ -248,11 +383,11 @@ def lm_decode_step_paged(
 
     moe_layers, experts_stack = _lift_experts_for_decode(params["layers_moe"], b * s, cfg)
 
-    def layer_step(x, layer, li, k_pool, v_pool):
+    def layer_step(x, layer, li, kv):
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, k_pool, v_pool = _paged_attention_step(
-            xn, layer["attn"], cfg, k_pool, v_pool, li, block_tables, pos,
+        attn_out, kv = _paged_attention_step(
+            xn, layer["attn"], cfg, kv, li, block_tables, pos,
             cos_b, sin_b, run_pallas,
         )
         x = res + attn_out
@@ -279,28 +414,28 @@ def lm_decode_step_paged(
                 x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"]
             )
         x = res + mlp_out.reshape(b, s, h)
-        return x, k_pool, v_pool
+        return x, kv
 
     # Full pool carried in place (no per-layer slices, no stack/concat
     # re-assembly — at serving pool sizes the r1 xs/ys design re-copied the
     # whole multi-GB pool every step).
     x = embeds
-    k_all, v_all = cache["k"], cache["v"]
+    kv = dict(cache)
     for i in range(ld):
         layer = _index_tree(params["layers_dense"], i)
-        x, k_all, v_all = layer_step(x, layer, i, k_all, v_all)
+        x, kv = layer_step(x, layer, i, kv)
 
     def moe_body(carry, xs):
-        x, k_all, v_all = carry
+        x, kv = carry
         layer, li = xs
-        x, k_all, v_all = layer_step(x, layer, li, k_all, v_all)
-        return (x, k_all, v_all), None
+        x, kv = layer_step(x, layer, li, kv)
+        return (x, kv), None
 
     moe_xs = (moe_layers, jnp.arange(ld, cfg.num_hidden_layers))
-    (x, k_all, v_all), _ = jax.lax.scan(moe_body, (x, k_all, v_all), moe_xs)
+    (x, kv), _ = jax.lax.scan(moe_body, (x, kv), moe_xs)
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all}
+    return hidden, kv
 
 
 def _lm_decode_step_paged_q8(
@@ -322,11 +457,11 @@ def _lm_decode_step_paged_q8(
 
     cos_b, sin_b = _chunk_rope(cos, sin, pos, s)
 
-    def layer_step(x, layer, li, q8_experts, k_pool, v_pool):
+    def layer_step(x, layer, li, q8_experts, kv):
         res = x
         xn = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        attn_out, k_pool, v_pool = _paged_attention_step(
-            xn, layer["attn"], cfg, k_pool, v_pool, li, block_tables, pos,
+        attn_out, kv = _paged_attention_step(
+            xn, layer["attn"], cfg, kv, li, block_tables, pos,
             cos_b, sin_b, run_pallas,
         )
         x = res + attn_out
@@ -336,17 +471,17 @@ def _lm_decode_step_paged_q8(
             xn.reshape(b * s, h), layer, cfg, q8_experts, decode=True, is_prefill=False
         )
         x = res + ffn.reshape(b, s, h)
-        return x, k_pool, v_pool
+        return x, kv
 
     x = embeds
-    k_all, v_all = cache["k"], cache["v"]
+    kv = dict(cache)
     for i in range(ld):
         layer = _q8_layer_weights(params, "dense", i)
-        x, k_all, v_all = layer_step(x, layer, i, None, k_all, v_all)
+        x, kv = layer_step(x, layer, i, None, kv)
     for j, q8 in enumerate(params["moe_q8"]):
         li = ld + j
         layer = _q8_layer_weights(params, "moe", j)
-        x, k_all, v_all = layer_step(x, layer, li, q8, k_all, v_all)
+        x, kv = layer_step(x, layer, li, q8, kv)
 
     hidden = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    return hidden, {"k": k_all, "v": v_all}
+    return hidden, kv

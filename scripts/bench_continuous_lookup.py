@@ -38,7 +38,7 @@ PROMPT = 897
 BUDGET = 128  # tokens per dispatch (worst case)
 
 
-def fresh_state(cfg, pattern: np.ndarray | None, seed: int):
+def fresh_state(cfg, pattern: np.ndarray | None, seed: int, kv_dtype="bfloat16"):
     """Paged pool + slot state for B rows at PROMPT tokens each."""
     rng = np.random.default_rng(seed)
     toks = np.zeros((B, TOK_CAP), np.int32)
@@ -51,7 +51,7 @@ def fresh_state(cfg, pattern: np.ndarray | None, seed: int):
     n_pages_per = pages_for(TOK_CAP, PAGE)
     cache = make_paged_kv_cache(
         cfg.num_hidden_layers, B * n_pages_per + 1, cfg.num_attention_heads,
-        PAGE, cfg.head_dim, jnp.bfloat16,
+        PAGE, cfg.head_dim, jnp.dtype(kv_dtype),
     )
     tables = np.arange(1, B * n_pages_per + 1, dtype=np.int32).reshape(B, n_pages_per)
     return (
@@ -65,10 +65,10 @@ def fresh_state(cfg, pattern: np.ndarray | None, seed: int):
     )
 
 
-def run_one(params, cfg, pattern, chunk: int):
+def run_one(params, cfg, pattern, chunk: int, kv_dtype="bfloat16"):
     def go():
         cache, toks, lens, done, limits, tables, seeds = fresh_state(
-            cfg, pattern, seed=1
+            cfg, pattern, seed=1, kv_dtype=kv_dtype
         )
         if chunk <= 1:
             out = decode_chunk(
@@ -104,14 +104,15 @@ def main():
     print(f"device: {jax.devices()[0]}  B={B} prompt={PROMPT} budget={BUDGET}")
     for scope in ("bf16", "int8"):
         p = dsv2.quantize_lm_params(params, scope="full") if scope == "int8" else params
-        for name, pat in (("repetitive", pattern), ("random", None)):
-            for chunk in (1, 2, 4):
-                tps, acc = run_one(p, cfg, pat, chunk)
-                tag = "plain " if chunk <= 1 else f"chunk{chunk}"
-                print(
-                    f"{scope} {name:11s} {tag}  {tps:8.1f} tok/s  "
-                    f"{acc:4.2f} tok/forward"
-                )
+        for kv in ("bfloat16", "int8"):
+            for name, pat in (("repetitive", pattern), ("random", None)):
+                for chunk in (1, 2, 4):
+                    tps, acc = run_one(p, cfg, pat, chunk, kv_dtype=kv)
+                    tag = "plain " if chunk <= 1 else f"chunk{chunk}"
+                    print(
+                        f"{scope} kv={kv:8s} {name:11s} {tag}  {tps:8.1f} tok/s  "
+                        f"{acc:4.2f} tok/forward"
+                    )
 
 
 if __name__ == "__main__":

@@ -439,3 +439,30 @@ def test_online_stop_drains(setup):
     for f in futs:
         assert f.done()
         assert f.result(timeout=0).new_tokens >= 1
+
+
+def test_continuous_int8_kv_pool_runs(setup):
+    """int8-quantized KV pool (--kv-cache int8): the engine admits
+    (quantizing at the pool boundary), decodes, looks up speculatively, and
+    completes every page. Not token-exact vs f32 by design; numeric quality
+    is pinned by the kernel/step tests in test_paged_attention."""
+    cfg, pipe = setup
+    qpipe = OCR2Pipeline(
+        pipe.params, cfg, pipe.tokenizer, kv_dtype="int8", act_dtype="float32"
+    )
+    pages = _pages(3)
+    for lookup in (0, 3):
+        engine = ContinuousOCREngine(
+            qpipe, slots=2, capacity=128, chunk_steps=4, lookup_chunk=lookup
+        )
+        results = engine.run(pages, max_new_tokens=5, ngram_size=3)
+        for r in results:
+            assert r is not None and r.new_tokens >= 1
+
+
+def test_contiguous_cache_rejects_int8(setup):
+    cfg, pipe = setup
+    from deepseek_ocr2_tpu.runtime.kv_cache import make_kv_cache
+
+    with pytest.raises(ValueError):
+        make_kv_cache(2, 1, 2, 16, 8, jnp.int8)

@@ -244,3 +244,130 @@ def test_paged_chunk_step_matches_single_steps():
         np.testing.assert_allclose(
             np.asarray(pool_a[key]), np.asarray(pool_b[key]), rtol=2e-4, atol=2e-4
         )
+
+
+def test_quantize_kv_error_bound():
+    from deepseek_ocr2_tpu.runtime.paged_kv import quantize_kv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 7, 128), jnp.float32) * 3.0
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (5, 7)
+    deq = q.astype(jnp.float32) * s[..., None]
+    absmax = np.abs(np.asarray(x)).max(-1)
+    # symmetric round-to-nearest: |err| <= scale/2 = absmax/254
+    err = np.abs(np.asarray(deq) - np.asarray(x))
+    assert (err <= absmax[..., None] / 254 + 1e-7).all()
+
+
+def test_paged_pool_q8_kernels_match_dequant_oracle():
+    """int8 pool kernels (1-query + chunk) == the f32 kernels run on the
+    dequantized pool (same math, half the page bytes)."""
+    from deepseek_ocr2_tpu.ops.paged_attention import (
+        dequant_pages,
+        paged_decode_attention_pool_chunk_q8,
+        paged_decode_attention_pool_q8,
+        paged_decode_attention_xla,
+        paged_decode_attention_xla_chunk,
+    )
+    from deepseek_ocr2_tpu.runtime.paged_kv import quantize_kv
+
+    n_layers, b, s_q, hh, d, page, n_pool, max_pages = 2, 3, 3, 4, 128, 64, 24, 5
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    qs = jax.random.normal(ks[0], (b, s_q, hh, d), jnp.float32)
+    kf = jax.random.normal(ks[1], (n_layers, n_pool, hh, page, d), jnp.float32)
+    vf = jax.random.normal(ks[2], (n_layers, n_pool, hh, page, d), jnp.float32)
+    k_i8, k_sc = quantize_kv(kf)
+    v_i8, v_sc = quantize_kv(vf)
+    k_deq = dequant_pages(k_i8, k_sc)
+    v_deq = dequant_pages(v_i8, v_sc)
+    rng = np.random.default_rng(11)
+    tables = jnp.asarray(
+        rng.permutation(n_pool)[: b * max_pages].reshape(b, max_pages), jnp.int32
+    )
+
+    # 1-query
+    seq1 = jnp.asarray([1, page + 5, 4 * page], jnp.int32)
+    for li in range(n_layers):
+        want = paged_decode_attention_xla(
+            qs[:, 0], k_deq[li], v_deq[li], tables, seq1, scale=1 / math.sqrt(d)
+        )
+        got = paged_decode_attention_pool_q8(
+            qs[:, 0], k_i8, v_i8, k_sc, v_sc, tables, seq1, jnp.int32(li),
+            scale=1 / math.sqrt(d), interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+            err_msg=f"1q layer {li}",
+        )
+
+    # chunk queries with per-query budgets
+    base = jnp.asarray([2, page - 1, 3 * page + 4], jnp.int32)
+    seqc = base[:, None] + jnp.arange(s_q, dtype=jnp.int32)[None, :]
+    for li in range(n_layers):
+        want = paged_decode_attention_xla_chunk(
+            qs, k_deq[li], v_deq[li], tables, seqc, scale=1 / math.sqrt(d)
+        )
+        got = paged_decode_attention_pool_chunk_q8(
+            qs, k_i8, v_i8, k_sc, v_sc, tables, seqc, jnp.int32(li),
+            scale=1 / math.sqrt(d), interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5,
+            err_msg=f"chunk layer {li}",
+        )
+
+
+def test_paged_decode_step_int8_close_to_f32():
+    """Full paged decode step on an int8 pool tracks the f32 pool within
+    quantization noise (per-vector absmax int8: ~0.4% RMS on K/V)."""
+    cfg = tiny_lm_config()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, dsv2.init_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    )
+    b, s, page = 2, 10, 8
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    embeds = jnp.take(params["embed"], ids, axis=0)
+
+    cap = 32
+    cache = make_kv_cache(
+        cfg.num_hidden_layers, b, cfg.num_attention_heads, cap, cfg.head_dim,
+        jnp.float32,
+    )
+    _, cache = dsv2.lm_forward(params, cfg, embeds, cache, pos=0, is_prefill=True)
+
+    n_pages_per = paged_kv.pages_for(cap, page)
+    n_pool = 2 * n_pages_per + 1
+    tables = jnp.asarray(
+        np.arange(1, 2 * n_pages_per + 1, dtype=np.int32).reshape(b, n_pages_per)
+    )
+    pools = {}
+    for dt in ("float32", "int8"):
+        pool = paged_kv.make_paged_kv_cache(
+            cfg.num_hidden_layers, n_pool, cfg.num_attention_heads, page,
+            cfg.head_dim, jnp.dtype(dt),
+        )
+        pools[dt] = paged_kv.write_prompt_pool_batched(
+            pool,
+            cache["k"].reshape(cfg.num_hidden_layers, b, cfg.num_attention_heads, cap, cfg.head_dim),
+            cache["v"].reshape(cfg.num_hidden_layers, b, cfg.num_attention_heads, cap, cfg.head_dim),
+            jnp.asarray(
+                np.arange(1, 2 * n_pages_per + 1, dtype=np.int32).reshape(
+                    b, n_pages_per
+                )
+            ),
+            s,
+        )
+
+    feed = jnp.asarray(rng.integers(0, cfg.vocab_size, (b,)), jnp.int32)
+    emb = jnp.take(params["embed"], feed, axis=0)[:, None, :]
+    pos = jnp.full((b,), s, jnp.int32)
+    h_f32, _ = paged_kv.lm_decode_step_paged(
+        params, cfg, emb, pools["float32"], tables, pos, use_pallas=False
+    )
+    h_q8, _ = paged_kv.lm_decode_step_paged(
+        params, cfg, emb, pools["int8"], tables, pos, use_pallas=False
+    )
+    a, bb = np.asarray(h_f32), np.asarray(h_q8)
+    denom = np.abs(a).mean()
+    assert np.abs(a - bb).mean() / denom < 0.05, np.abs(a - bb).mean() / denom
