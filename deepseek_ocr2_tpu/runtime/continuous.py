@@ -452,6 +452,13 @@ class ContinuousOCREngine:
 
         if self._thread is not None:
             raise RuntimeError("engine already started")
+        if (
+            self.lookup_chunk >= 2
+            and (sampling or {}).get("temperature", 0.0) != 0.0
+        ):
+            raise ValueError(
+                "lookup_chunk requires greedy decoding (temperature 0)"
+            )
         self._stop = False
         self._thread = threading.Thread(
             target=self._serve,
@@ -772,14 +779,41 @@ class ContinuousOCREngine:
                 # Group the head of the queue by (ratio, prompt).
                 key0 = group_key(take[0])
                 group = [r for r in take if group_key(r) == key0]
+                # Per-request validation: a bad prompt (no/multiple <image>)
+                # or an over-capacity budget must fail ITS request, never
+                # the serve loop (an online engine outlives bad requests).
+                def fail_requests(reqs, err):
+                    with cv:
+                        for r in reqs:
+                            if r in pending:
+                                pending.remove(r)
+                    for r in reqs:
+                        r._finish(error=err)
+
+                try:
+                    ids, _, _ = tokenize_with_image(
+                        pipe.tokenizer, group[0].prompt, cfg, key0[0]
+                    )
+                except Exception as e:
+                    fail_requests(group, e)
+                    continue
+                s0 = len(ids)
+                over = [r for r in group if s0 + r.max_new_tokens > tok_cap]
+                if over:
+                    fail_requests(
+                        over,
+                        ValueError(
+                            f"prompt ({s0} tokens) + max_new_tokens exceeds "
+                            f"engine capacity {tok_cap}"
+                        ),
+                    )
+                    group = [r for r in group if r not in over]
+                    if not group:
+                        continue
                 g = _pow2_at_most(len(group))
                 group = group[:g]
                 # Check pool headroom for the whole group (lazy: prompt +
                 # first token + first chunk; grow_pages covers the rest).
-                ids, _, _ = tokenize_with_image(
-                    pipe.tokenizer, group[0].prompt, cfg, key0[0]
-                )
-                s0 = len(ids)
                 needs = [
                     pages_for(
                         min(s0 + 1 + self.dispatch_tokens, s0 + r.max_new_tokens),

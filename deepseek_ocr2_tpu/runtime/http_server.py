@@ -114,6 +114,11 @@ class OCRHttpServer:
                 except TimeoutError:
                     outer.n_errors += 1
                     return self._json(504, {"error": "generation timed out"})
+                except ValueError as e:
+                    # Per-request validation failures (bad prompt, budget
+                    # over engine capacity) are client errors.
+                    outer.n_errors += 1
+                    return self._json(400, {"error": str(e)})
                 except Exception as e:
                     outer.n_errors += 1
                     return self._json(500, {"error": str(e)})

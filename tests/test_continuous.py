@@ -466,3 +466,33 @@ def test_contiguous_cache_rejects_int8(setup):
 
     with pytest.raises(ValueError):
         make_kv_cache(2, 1, 2, 16, 8, jnp.int8)
+
+
+def test_online_bad_request_does_not_kill_engine(setup):
+    """A request whose budget exceeds engine capacity, or whose prompt has
+    no <image> placeholder, fails ITS future; the engine keeps serving."""
+    cfg, pipe = setup
+    good = _pages(1)[0]
+    want = pipe.generate_ocr(good, max_new_tokens=4, ngram_size=0)
+
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+    engine.start(ngram_size=0)
+    try:
+        too_big = engine.submit(good, max_new_tokens=10_000)
+        bad_prompt = engine.submit(good, prompt="no placeholder here", max_new_tokens=4)
+        with pytest.raises(ValueError):
+            too_big.result(timeout=300)
+        with pytest.raises(Exception):
+            bad_prompt.result(timeout=300)
+        ok = engine.submit(good, max_new_tokens=4)
+        res = ok.result(timeout=300)
+    finally:
+        engine.stop(timeout=60)
+    assert res.token_ids == want.token_ids
+
+
+def test_online_start_rejects_lookup_with_sampling(setup):
+    cfg, pipe = setup
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, lookup_chunk=4)
+    with pytest.raises(ValueError):
+        engine.start(sampling=dict(temperature=1.0))

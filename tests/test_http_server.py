@@ -129,3 +129,16 @@ def test_http_unknown_path_404(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server.port, "/v1/nope", b"x")
     assert e.value.code == 404
+
+
+def test_http_over_budget_request_400_engine_survives(served):
+    pipe, server = served
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/v1/ocr?max_new_tokens=100000", _png_bytes(img))
+    assert e.value.code == 400
+    # engine still alive
+    want = pipe.generate_ocr(img, max_new_tokens=4, ngram_size=3)
+    out = _post(server.port, "/v1/ocr?max_new_tokens=4", _png_bytes(img))
+    assert out["token_ids"] == want.token_ids
