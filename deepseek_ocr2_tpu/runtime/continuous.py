@@ -306,17 +306,26 @@ class OCRRequest:
     internal unit of the batch `run` path. `result(timeout)` blocks until
     the page finishes and returns the GenerationResult (re-raising any
     per-request failure, e.g. an unreadable image).
+
+    With `stream=True` (submit only), generated token ids are additionally
+    pushed chunk-by-chunk as the serve loop produces them; consume them with
+    `stream_token_ids()` / `stream_text()` (single consumer). Preemption is
+    invisible to the stream: the engine tracks how many generated tokens were
+    already emitted and the deterministic re-decode only emits past that
+    watermark, so the stream never duplicates or drops tokens.
     """
 
     __slots__ = (
         "image", "prompt", "max_new_tokens", "no_crop", "rotate",
         "auto_rotate", "seq", "pre", "_result", "error", "_event",
+        "stream", "_stream_q", "_n_streamed",
     )
 
     def __init__(
         self, image, prompt: str, max_new_tokens: int, no_crop: bool,
-        rotate: int, auto_rotate: bool, seq: int,
+        rotate: int, auto_rotate: bool, seq: int, stream: bool = False,
     ):
+        import queue
         import threading
 
         self.image = image
@@ -330,6 +339,9 @@ class OCRRequest:
         self._result: Optional[GenerationResult] = None
         self.error: Optional[Exception] = None
         self._event = threading.Event()
+        self.stream = stream
+        self._stream_q = queue.Queue() if stream else None
+        self._n_streamed = 0  # generated tokens already emitted (survives preemption)
 
     def done(self) -> bool:
         return self._event.is_set()
@@ -341,10 +353,92 @@ class OCRRequest:
             raise self.error
         return self._result  # type: ignore[return-value]
 
+    def stream_token_ids(self, timeout: Optional[float] = None):
+        """Yield lists of generated token ids as decode chunks land; returns
+        when the request finishes (re-raising its error, if any). `timeout`
+        bounds the wait for EACH chunk."""
+        import queue
+
+        if self._stream_q is None:
+            raise RuntimeError("request was not submitted with stream=True")
+        while True:
+            try:
+                item = self._stream_q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError("OCR stream stalled") from None
+            if item is None:
+                break
+            yield item
+        if self.error is not None:
+            raise self.error
+
+    def stream_text(self, tokenizer, stop_string: Optional[str] = None,
+                    timeout: Optional[float] = None):
+        """Yield incremental TEXT deltas (see _TextStream for the holdback /
+        stop-string semantics). The concatenation equals the final result's
+        text up to the trailing strip()."""
+        ts = _TextStream(tokenizer, stop_string)
+        for ids in self.stream_token_ids(timeout=timeout):
+            delta = ts.push(ids)
+            if delta:
+                yield delta
+            if ts.stopped:
+                return
+
     def _finish(self, result=None, error=None):
         self._result = result
         self.error = error
+        if self._stream_q is not None:
+            self._stream_q.put(None)  # sentinel: stream consumers unblock
         self._event.set()
+
+
+class _TextStream:
+    """Incremental detokenizer for streamed token ids.
+
+    Decodes the full generated prefix on every push (monotone for byte-level
+    and word-level decoders), emits only the new suffix, and:
+    - holds back text ending in U+FFFD (a partial UTF-8 sequence split
+      across chunk boundaries);
+    - holds back any trailing run that is a prefix of `stop_string`, so no
+      fragment of the stop marker ever reaches the consumer; once the full
+      stop string appears, cuts there and sets `self.stopped`.
+    """
+
+    def __init__(self, tokenizer, stop_string: Optional[str] = None):
+        self.tokenizer = tokenizer
+        self.stop_string = stop_string
+        self.ids: List[int] = []
+        self.sent = ""
+        self.stopped = False
+
+    def push(self, ids) -> str:
+        if self.stopped:
+            return ""
+        self.ids.extend(int(i) for i in ids)
+        text = self.tokenizer.decode(self.ids, skip_special_tokens=False)
+        if text.endswith("�"):
+            return ""
+        if self.stop_string:
+            cut = text.find(self.stop_string)
+            if cut != -1:
+                text = text[:cut]
+                self.stopped = True
+            else:
+                # Hold back a trailing partial stop marker.
+                for k in range(min(len(self.stop_string) - 1, len(text)), 0, -1):
+                    if text.endswith(self.stop_string[:k]):
+                        text = text[: len(text) - k]
+                        break
+        # Decoders are monotone in practice; resync on the common prefix if not.
+        n = 0
+        m = min(len(self.sent), len(text))
+        while n < m and self.sent[n] == text[n]:
+            n += 1
+        delta = text[n:]
+        if delta:
+            self.sent = text
+        return delta
 
 
 class ContinuousOCREngine:
@@ -476,12 +570,16 @@ class ContinuousOCREngine:
         no_crop: bool = False,
         rotate: int = 0,
         auto_rotate: bool = False,
+        stream: bool = False,
     ) -> OCRRequest:
-        """Enqueue one page; returns its OCRRequest future."""
+        """Enqueue one page; returns its OCRRequest future. With
+        `stream=True`, generated ids are also pushed incrementally
+        (OCRRequest.stream_token_ids / stream_text)."""
         if self._thread is None:
             raise RuntimeError("engine not started; call start() first")
         req = self._make_request(
-            image, prompt, max_new_tokens, no_crop, rotate, auto_rotate
+            image, prompt, max_new_tokens, no_crop, rotate, auto_rotate,
+            stream=stream,
         )
         with self._cv:
             if self._stop:
@@ -504,7 +602,7 @@ class ContinuousOCREngine:
 
     def _make_request(
         self, image, prompt, max_new_tokens, no_crop, rotate, auto_rotate,
-        seq: Optional[int] = None,
+        seq: Optional[int] = None, stream: bool = False,
     ) -> OCRRequest:
         prompt = prompt or self.pipe.cfg.default_ocr_prompt
         if seq is None:
@@ -512,7 +610,8 @@ class ContinuousOCREngine:
                 seq = self._seq
                 self._seq += 1
         return OCRRequest(
-            image, prompt, max_new_tokens, no_crop, int(rotate), auto_rotate, seq
+            image, prompt, max_new_tokens, no_crop, int(rotate), auto_rotate,
+            seq, stream=stream,
         )
 
     def _serve(self, ngram_size: int, sampling: Optional[dict], online: bool):
@@ -910,6 +1009,28 @@ class ContinuousOCREngine:
                 slot_pages[slot].extend(extra)
                 block_tables_np[slot, have:needed] = extra
 
+        def emit_stream():
+            """Push newly generated ids to streaming requests. ONE batched
+            row-gather transfer per chunk (never per-slot: ~30 ms dispatch
+            round-trip on this platform). The per-request `_n_streamed`
+            watermark makes emission preemption-safe: a re-admitted page
+            re-decodes deterministically and only emits past the watermark."""
+            rows = [
+                s
+                for s in slot_req
+                if slot_req[s].stream
+                and int(lens_np[s]) - prompt_lens[s] > slot_req[s]._n_streamed
+            ]
+            if not rows:
+                return
+            toks_h = np.asarray(tokens[jnp.asarray(rows, jnp.int32)])
+            for i, s in enumerate(rows):
+                req = slot_req[s]
+                a = prompt_lens[s] + req._n_streamed
+                new_ids = toks_h[i, a : int(lens_np[s])].tolist()
+                req._n_streamed += len(new_ids)
+                req._stream_q.put(new_ids)
+
         def harvest():
             """Finalize finished slots; free their pages; resolve futures."""
             nonlocal tokens
@@ -925,6 +1046,10 @@ class ContinuousOCREngine:
                     text = decode_output(pipe.tokenizer, gen_ids, cfg.stop_string)
                     alloc.release(slot_pages.pop(slot))
                     block_tables_np[slot] = 0
+                    if req.stream and len(gen_ids) > req._n_streamed:
+                        tail = gen_ids[req._n_streamed :]
+                        req._n_streamed = len(gen_ids)
+                        req._stream_q.put(tail)
                     req._finish(
                         result=GenerationResult(
                             text=text,
@@ -1003,6 +1128,7 @@ class ContinuousOCREngine:
                         status_h = np.asarray(status)
                     lens_np[:] = status_h[:b]
                     done_np[:] = status_h[b : 2 * b].astype(bool)
+                    emit_stream()
                 harvest()
         finally:
             with cv:

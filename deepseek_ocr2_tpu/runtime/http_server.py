@@ -12,6 +12,12 @@ Endpoints:
                  prompt, max_new_tokens, no_crop, rotate, auto_rotate,
                  timeout (seconds). 200 -> JSON result; 400 bad image/args;
                  504 timeout.
+                 With `stream=1`: Server-Sent Events (text/event-stream) —
+                 one `data: {"text_delta": ..., "n_tokens": ...}` event per
+                 decode chunk (plus `token_ids` when the server was built
+                 with include_token_ids), then a final
+                 `data: {"done": true, ...result stats...}` event. Errors
+                 after the stream opens arrive as `data: {"error": ...}`.
 - GET  /healthz  liveness.
 - GET  /v1/stats engine/serving counters.
 
@@ -105,9 +111,12 @@ class OCRHttpServer:
                     timeout = float(
                         q.get("timeout", [str(outer.default_timeout)])[0]
                     )
+                    stream = _bool_arg(q, "stream")
                 except Exception as e:
                     outer.n_errors += 1
                     return self._json(400, {"error": f"bad request: {e}"})
+                if stream:
+                    return self._stream_ocr(image, kwargs, timeout)
                 try:
                     fut = outer.engine.submit(image, **kwargs)
                     res = fut.result(timeout=timeout)
@@ -133,6 +142,99 @@ class OCRHttpServer:
                 if outer.include_token_ids:
                     out["token_ids"] = res.token_ids
                 return self._json(200, out)
+
+            def _stream_ocr(self, image, kwargs, timeout):
+                """SSE: one event per decode chunk, then a final done event.
+                No Content-Length, so the connection closes at end-of-stream
+                (Connection: close keeps HTTP/1.1 framing valid)."""
+                from .continuous import _TextStream
+
+                try:
+                    fut = outer.engine.submit(image, stream=True, **kwargs)
+                except ValueError as e:
+                    outer.n_errors += 1
+                    return self._json(400, {"error": str(e)})
+                except Exception as e:
+                    outer.n_errors += 1
+                    return self._json(500, {"error": str(e)})
+                # Pull the FIRST chunk before committing to SSE: admission
+                # validation failures (bad prompt, over-capacity budget)
+                # resolve through the future, and deferring the headers maps
+                # them to proper HTTP status codes instead of a mid-stream
+                # error event.
+                gen = fut.stream_token_ids(timeout=timeout)
+                first = None
+                try:
+                    first = next(gen)
+                except StopIteration:
+                    pass  # finished without a streamed chunk
+                except TimeoutError:
+                    outer.n_errors += 1
+                    return self._json(504, {"error": "generation timed out"})
+                except ValueError as e:
+                    outer.n_errors += 1
+                    return self._json(400, {"error": str(e)})
+                except Exception as e:
+                    outer.n_errors += 1
+                    return self._json(500, {"error": str(e)})
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def sse(obj):
+                    self.wfile.write(
+                        b"data: " + json.dumps(obj).encode() + b"\n\n"
+                    )
+                    self.wfile.flush()
+
+                pipe = outer.engine.pipe
+                ts = _TextStream(pipe.tokenizer, pipe.cfg.stop_string)
+                deadline = time.time() + timeout
+
+                def emit(ids):
+                    ev = {"text_delta": ts.push(ids), "n_tokens": len(ids)}
+                    if outer.include_token_ids:
+                        ev["token_ids"] = ids
+                    sse(ev)
+
+                try:
+                    if first is not None:
+                        emit(first)
+                    for ids in gen:
+                        emit(ids)
+                    res = fut.result(timeout=max(0.0, deadline - time.time()))
+                except TimeoutError:
+                    outer.n_errors += 1
+                    return self._try_sse(sse, {"error": "generation timed out"})
+                except OSError:
+                    # Client went away mid-stream; generation completes in
+                    # the engine regardless.
+                    outer.n_errors += 1
+                    return
+                except Exception as e:
+                    outer.n_errors += 1
+                    return self._try_sse(sse, {"error": str(e)})
+                outer.n_requests += 1
+                self._try_sse(
+                    sse,
+                    {
+                        "done": True,
+                        "text": res.text,
+                        "new_tokens": res.new_tokens,
+                        "prompt_len": res.prompt_len,
+                        "prefill_seconds": res.prefill_seconds,
+                        "decode_seconds": res.decode_seconds,
+                    },
+                )
+
+            @staticmethod
+            def _try_sse(sse, obj):
+                try:
+                    sse(obj)
+                except OSError:
+                    pass  # client already gone
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

@@ -496,3 +496,104 @@ def test_online_start_rejects_lookup_with_sampling(setup):
     engine = ContinuousOCREngine(pipe, slots=2, capacity=128, lookup_chunk=4)
     with pytest.raises(ValueError):
         engine.start(sampling=dict(temperature=1.0))
+
+
+def test_text_stream_holdback():
+    """_TextStream: stop-string fragments and split-UTF-8 bytes never leak
+    into the emitted deltas, and the stop string cuts the stream."""
+    from deepseek_ocr2_tpu.runtime.continuous import _TextStream
+
+    class WordTok:
+        table = {1: "he", 2: "llo ", 3: "wor", 4: "<D", 5: "ONE>", 6: "!"}
+
+        def decode(self, ids, skip_special_tokens=False):
+            return "".join(self.table[i] for i in ids)
+
+    ts = _TextStream(WordTok(), stop_string="<DONE>")
+    assert ts.push([1]) == "he"
+    # "<D" is a prefix of the stop string: held back.
+    assert ts.push([2, 4]) == "llo "
+    assert not ts.stopped
+    # Completing the stop string cuts there and never emits any of it.
+    assert ts.push([5, 6]) == ""
+    assert ts.stopped
+    assert ts.push([6]) == ""
+
+    class ByteTok:
+        table = {1: b"a", 2: b"\xe2", 3: b"\x82\xac", 4: b"b"}
+
+        def decode(self, ids, skip_special_tokens=False):
+            return b"".join(self.table[i] for i in ids).decode("utf-8", "replace")
+
+    ts = _TextStream(ByteTok())
+    # "\xe2" alone decodes to U+FFFD: the partial sequence is held back.
+    assert ts.push([1, 2]) == ""
+    assert ts.push([3, 4]) == "a€b"
+
+
+def test_continuous_streaming_online(setup):
+    """Online streaming: per-chunk ids concatenate to exactly the final
+    generated ids, across multiple emissions, and stream_text deltas
+    reassemble the final text."""
+    cfg, pipe = setup
+    pages = _pages(2)
+    engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=2)
+    engine.start(ngram_size=3)
+    try:
+        reqs = [engine.submit(p, max_new_tokens=6, stream=True) for p in pages]
+        for req in reqs:
+            chunks = list(req.stream_token_ids(timeout=600))
+            res = req.result(timeout=10)
+            got = [t for c in chunks for t in c]
+            assert got == res.token_ids[res.prompt_len:]
+            assert len(chunks) >= 2, "chunk_steps=2 must emit incrementally"
+        # stream_text path (fresh request).
+        req = engine.submit(pages[0], max_new_tokens=6, stream=True)
+        text = "".join(
+            req.stream_text(pipe.tokenizer, cfg.stop_string, timeout=600)
+        )
+        res = req.result(timeout=10)
+        assert text.strip() == res.text
+    finally:
+        engine.stop(timeout=120)
+
+
+def test_continuous_streaming_preemption_no_dup_no_gap(setup):
+    """A preempted streaming request re-decodes deterministically; the
+    per-request watermark must make that invisible to the stream (no
+    duplicated, no missing tokens)."""
+    from deepseek_ocr2_tpu.runtime.paged_kv import pages_for
+    from deepseek_ocr2_tpu.utils.tokenizer import tokenize_with_image
+
+    cfg, pipe = setup
+    pages = _pages(2)[1:2] * 2  # two identical no-crop pages
+    ids, _, _ = tokenize_with_image(
+        pipe.tokenizer, cfg.default_ocr_prompt, cfg, (1, 1)
+    )
+    s = len(ids)
+    page_size, max_new, chunk = 16, 64, 8
+    per_admit = pages_for(min(s + 1 + chunk, s + max_new), page_size)
+    full = pages_for(s + max_new, page_size)
+    pool_pages = max(
+        2 * per_admit + (full - per_admit) + (full - per_admit) // 2,
+        pages_for(128, page_size),
+    )
+    engine = ContinuousOCREngine(
+        pipe, slots=2, capacity=128, chunk_steps=chunk,
+        page_size=page_size, pool_tokens=pool_pages * page_size,
+    )
+    engine.start(ngram_size=3)
+    try:
+        reqs = [
+            engine.submit(p, max_new_tokens=max_new, stream=True) for p in pages
+        ]
+        outs = []
+        for req in reqs:
+            chunks = list(req.stream_token_ids(timeout=600))
+            res = req.result(timeout=10)
+            outs.append(([t for c in chunks for t in c], res))
+    finally:
+        engine.stop(timeout=120)
+    assert engine.last_preempted >= 1, "pool sizing did not force a preemption"
+    for got, res in outs:
+        assert got == res.token_ids[res.prompt_len:]

@@ -142,3 +142,55 @@ def test_http_over_budget_request_400_engine_survives(served):
     want = pipe.generate_ocr(img, max_new_tokens=4, ngram_size=3)
     out = _post(server.port, "/v1/ocr?max_new_tokens=4", _png_bytes(img))
     assert out["token_ids"] == want.token_ids
+
+
+def _post_sse(port, path, body, timeout=600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=body,
+        headers={"Content-Type": "image/png"},
+        method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for line in r:
+            line = line.strip()
+            if line.startswith(b"data: "):
+                events.append(json.loads(line[len(b"data: "):]))
+    return events
+
+
+def test_http_streaming_sse(served):
+    """stream=1: SSE events reassemble exactly the non-streamed result."""
+    pipe, server = served
+    rng = np.random.default_rng(11)
+    img = Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8))
+    want = pipe.generate_ocr(img, max_new_tokens=6, ngram_size=3)
+
+    events = _post_sse(
+        server.port, "/v1/ocr?max_new_tokens=6&stream=1", _png_bytes(img)
+    )
+    assert len(events) >= 2, events
+    final = events[-1]
+    assert final.get("done") is True
+    assert final["text"] == want.text
+    assert final["new_tokens"] == want.new_tokens
+    ids = [t for ev in events[:-1] for t in ev["token_ids"]]
+    assert ids == want.token_ids[want.prompt_len:]
+    text = "".join(ev["text_delta"] for ev in events[:-1])
+    assert text.strip() == want.text
+
+
+def test_http_streaming_bad_args_400(served):
+    """A stream request failing admission validation must still 400."""
+    pipe, server = served
+    rng = np.random.default_rng(12)
+    img = Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_sse(
+            server.port,
+            "/v1/ocr?max_new_tokens=100000&stream=1",
+            _png_bytes(img),
+        )
+    assert e.value.code == 400
