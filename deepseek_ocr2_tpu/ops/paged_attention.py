@@ -268,11 +268,13 @@ def _paged_kernel_pool_chunk(
     seq_lens_ref,  # [B, S] i32 per-query valid-key counts
     layer_ref,  # [1] i32
     # inputs
-    q_ref,  # [1, S, 1, D] (row bi, head hi block)
+    q_ref,  # [1, 1, S, D] (row bi, head hi block; q pre-transposed to
+    #         [B, Hh, S, D] so the block's last two dims are fully taken —
+    #         Mosaic rejects blocks that slice the second-to-last dim to 1)
     k_ref,  # [1, 1, 1, page, D] (layer + page selected via index_map)
     v_ref,
     # outputs
-    o_ref,  # [1, S, 1, D]
+    o_ref,  # [1, 1, S, D]
     # scratch
     m_ref,  # [S, 1] f32 VMEM
     l_ref,  # [S, 1] f32 VMEM
@@ -307,7 +309,7 @@ def _paged_kernel_pool_chunk(
 
     @pl.when(p * page_size < max_len)
     def _():
-        q = q_ref[0, :, 0, :].astype(jnp.float32)  # [S, D]
+        q = q_ref[0, 0].astype(jnp.float32)  # [S, D]
         k = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
         v = v_ref[0, 0, 0].astype(jnp.float32)
 
@@ -336,7 +338,7 @@ def _paged_kernel_pool_chunk(
     @pl.when(p == n_pages - 1)
     def _():
         denom = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0, :, 0, :] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention_pool_chunk(
@@ -367,8 +369,8 @@ def paged_decode_attention_pool_chunk(
         grid=(b, hh, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, s_q, 1, d),
-                lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+                (1, 1, s_q, d),
+                lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -383,8 +385,8 @@ def paged_decode_attention_pool_chunk(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, s_q, 1, d),
-            lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+            (1, 1, s_q, d),
+            lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -397,19 +399,20 @@ def paged_decode_attention_pool_chunk(
         _paged_kernel_pool_chunk, scale=scale, page_size=page_size, n_queries=s_q
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s_q, hh, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hh, s_q, d), jnp.float32),
         interpret=interpret,
     )(
         block_tables.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
         layer_arr,
-        q,
+        q.transpose(0, 2, 1, 3),  # [B, Hh, S, D] — legal block tiling
         k_pool,
         v_pool,
     )
+    return out.transpose(0, 2, 1, 3)  # [B, S, Hh, D]
 
 
 def paged_decode_attention_xla_chunk(
@@ -601,7 +604,9 @@ def _paged_kernel_pool_q8(
     q_ref,  # [1, Hh, D]
     k_ref,  # [1, 1, 1, page, D] int8 (layer + page via index_map)
     v_ref,  # int8
-    ks_ref,  # [1, 1, 1, page] f32 per-token scales
+    ks_ref,  # [1, 1, 1, 1, page] f32 per-token scales (5D so the block's
+    #          last two dims are (1, page) — Mosaic rejects slicing the
+    #          second-to-last dim of a [L,P,Hh,page] array to 1)
     vs_ref,
     # outputs
     o_ref,  # [1, Hh, D]
@@ -633,8 +638,8 @@ def _paged_kernel_pool_q8(
     @pl.when(p * page_size < seq_len)
     def _():
         q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
-        ks = ks_ref[0, 0, 0].reshape(-1, 1)  # [page, 1] f32
-        vs = vs_ref[0, 0, 0].reshape(-1, 1)
+        ks = ks_ref[0, 0, 0, 0].reshape(-1, 1)  # [page, 1] f32
+        vs = vs_ref[0, 0, 0, 0].reshape(-1, 1)
         k = k_ref[0, 0, 0].astype(jnp.float32) * ks  # [page, D]
         v = v_ref[0, 0, 0].astype(jnp.float32) * vs
 
@@ -677,11 +682,17 @@ def paged_decode_attention_pool_q8(
     b, hh, d = q.shape
     max_pages = block_tables.shape[1]
     page_size = k_pool.shape[3]
+    ll, pp = k_scale.shape[0], k_scale.shape[1]
+    # Contiguous 5D view: blocks of a [L,P,Hh,page] array would have to
+    # slice Hh (second-to-last) to 1, which Mosaic rejects; [L,P,Hh,1,page]
+    # keeps the last two block dims at (1, page) == array dims.
+    k_scale5 = k_scale.reshape(ll, pp, hh, 1, page_size)
+    v_scale5 = v_scale.reshape(ll, pp, hh, 1, page_size)
 
     def scale_spec():
         return pl.BlockSpec(
-            (1, 1, 1, page_size),
-            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0),
+            (1, 1, 1, 1, page_size),
+            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -732,8 +743,8 @@ def paged_decode_attention_pool_q8(
         q,
         k_pool,
         v_pool,
-        k_scale,
-        v_scale,
+        k_scale5,
+        v_scale5,
     )
 
 
@@ -741,12 +752,13 @@ def _paged_kernel_pool_chunk_q8(
     block_tables_ref,
     seq_lens_ref,  # [B, S] i32 per-query budgets
     layer_ref,
-    q_ref,  # [1, S, 1, D]
+    q_ref,  # [1, 1, S, D] (q pre-transposed to [B, Hh, S, D] — see
+    #         _paged_kernel_pool_chunk's block-tiling note)
     k_ref,  # [1, 1, 1, page, D] int8
     v_ref,
-    ks_ref,  # [1, 1, 1, page] f32
+    ks_ref,  # [1, 1, 1, 1, page] f32 (5D — see _paged_kernel_pool_q8)
     vs_ref,
-    o_ref,  # [1, S, 1, D]
+    o_ref,  # [1, 1, S, D]
     m_ref,  # [S, 1] f32 VMEM
     l_ref,
     acc_ref,  # [S, D]
@@ -773,9 +785,9 @@ def _paged_kernel_pool_chunk_q8(
 
     @pl.when(p * page_size < max_len)
     def _():
-        q = q_ref[0, :, 0, :].astype(jnp.float32)  # [S, D]
-        ks = ks_ref[0, 0, 0].reshape(-1, 1)
-        vs = vs_ref[0, 0, 0].reshape(-1, 1)
+        q = q_ref[0, 0].astype(jnp.float32)  # [S, D]
+        ks = ks_ref[0, 0, 0, 0].reshape(-1, 1)
+        vs = vs_ref[0, 0, 0, 0].reshape(-1, 1)
         k = k_ref[0, 0, 0].astype(jnp.float32) * ks
         v = v_ref[0, 0, 0].astype(jnp.float32) * vs
 
@@ -804,7 +816,7 @@ def _paged_kernel_pool_chunk_q8(
     @pl.when(p == n_pages - 1)
     def _():
         denom = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0, :, 0, :] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention_pool_chunk_q8(
@@ -824,11 +836,14 @@ def paged_decode_attention_pool_chunk_q8(
     b, s_q, hh, d = q.shape
     max_pages = block_tables.shape[1]
     page_size = k_pool.shape[3]
+    ll, pp = k_scale.shape[0], k_scale.shape[1]
+    k_scale5 = k_scale.reshape(ll, pp, hh, 1, page_size)
+    v_scale5 = v_scale.reshape(ll, pp, hh, 1, page_size)
 
     def scale_spec():
         return pl.BlockSpec(
-            (1, 1, 1, page_size),
-            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0),
+            (1, 1, 1, 1, page_size),
+            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -837,8 +852,8 @@ def paged_decode_attention_pool_chunk_q8(
         grid=(b, hh, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, s_q, 1, d),
-                lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+                (1, 1, s_q, d),
+                lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -855,8 +870,8 @@ def paged_decode_attention_pool_chunk_q8(
             scale_spec(),
         ],
         out_specs=pl.BlockSpec(
-            (1, s_q, 1, d),
-            lambda bi, hi, pi, bt, sl, ly: (bi, 0, hi, 0),
+            (1, 1, s_q, d),
+            lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -872,21 +887,22 @@ def paged_decode_attention_pool_chunk_q8(
         n_queries=s_q,
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s_q, hh, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hh, s_q, d), jnp.float32),
         interpret=interpret,
     )(
         block_tables.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
         layer_arr,
-        q,
+        q.transpose(0, 2, 1, 3),
         k_pool,
         v_pool,
-        k_scale,
-        v_scale,
+        k_scale5,
+        v_scale5,
     )
+    return out.transpose(0, 2, 1, 3)  # [B, S, Hh, D]
 
 
 def dequant_pages(pages_i8: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
