@@ -39,7 +39,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BM = 256  # row-tile height for prefill-scale M (VMEM fits 2.3 MB expert blocks)
+_BM = 64  # row-tile height for prefill-scale M, set from hardware ablation
+# (scripts/bench_gmm_bm.py on v5e, M=13.2k: bm=64 1.171 ms vs bm=256
+# 1.842 ms vs bm=32 2.059 ms — bm=64 balances the 1+E*bm/M overcompute
+# against per-visit weight-DMA hiding; at M=4.2k it ties bm=256).
 
 
 def _pick_bm(m: int) -> int:
