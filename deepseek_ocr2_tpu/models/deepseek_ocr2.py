@@ -31,6 +31,23 @@ from . import sam as sam_mod
 Params = Dict[str, Any]
 
 
+def normalize_pixels(x: jnp.ndarray, act_dtype) -> jnp.ndarray:
+    """Cast image tensors to the activation dtype, normalizing raw uint8
+    pixels on device first.
+
+    Shipping uint8 and normalizing here is 4x fewer host->device bytes than
+    shipping host-normalized f32 (the pixel transfer dominates admission on
+    a tunneled/PCIe link) and is bit-identical: the f32 op sequence
+    (u8 -> f32, /255, *2, -1) matches preprocess.image.images_to_nchw
+    (reference normalize main.rs:1300-1326) element for element, and f32
+    elementwise ops are IEEE-exact under XLA.
+    """
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / jnp.float32(255.0)
+        x = x * jnp.float32(2.0) - jnp.float32(1.0)
+    return x.astype(jnp.dtype(act_dtype))
+
+
 def init_params(cfg: OCR2Config, key: jax.Array, lm_dtype=jnp.bfloat16, vision_dtype=jnp.bfloat16) -> Params:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     h = cfg.lm.hidden_size

@@ -190,6 +190,38 @@ def images_to_nchw(imgs: Sequence[Image.Image]) -> np.ndarray:
     return out
 
 
+def images_to_u8_nchw(imgs: Sequence[Image.Image]) -> np.ndarray:
+    """Stack to [N,3,H,W] uint8 — raw pixels, normalization deferred to the
+    device (models.deepseek_ocr2.normalize_pixels, bit-identical to
+    images_to_nchw). 4x fewer host->device bytes and no host f32 pass; the
+    pixel transfer and normalize were the admission bottleneck on a
+    tunneled/PCIe link."""
+    w, h = imgs[0].size
+    out = np.empty((len(imgs), 3, h, w), np.uint8)
+    for i, im in enumerate(imgs):
+        a = np.asarray(im if im.mode == "RGB" else im.convert("RGB"))
+        out[i] = a.transpose(2, 0, 1)
+    return out
+
+
+def preprocess_base_u8(img: Image.Image, size: int, pad_color: int = 127) -> np.ndarray:
+    """Letterbox only -> [1, 3, size, size] uint8 (device normalizes)."""
+    return images_to_u8_nchw([pad_to_square(img, size, pad_color)])
+
+
+def preprocess_tiles_u8(
+    img: Image.Image, size: int, ratio: Tuple[int, int]
+) -> np.ndarray:
+    """Dynamic-tiling crops -> [P, 3, size, size] uint8 (device normalizes)."""
+    resized = img.resize((size * ratio[0], size * ratio[1]), Image.BICUBIC)
+    crops = []
+    for i in range(ratio[0] * ratio[1]):
+        x = (i % ratio[0]) * size
+        y = (i // ratio[0]) * size
+        crops.append(resized.crop((x, y, x + size, y + size)))
+    return images_to_u8_nchw(crops)
+
+
 def should_crop(img: Image.Image, crop_mode: bool, crop_image_size: int) -> bool:
     """Dynamic tiling triggers only for large images (main.rs:1430-1436)."""
     w, h = img.size

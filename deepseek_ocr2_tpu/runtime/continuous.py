@@ -51,6 +51,7 @@ from PIL import Image
 from ..configs import DeepseekV2Config
 from ..models import deepseek_v2 as dsv2
 from ..ops.sampling import greedy_pick, ngram_ban_mask, sample_pick
+from ..utils.debug import dbg_print, enabled
 from ..utils.tokenizer import decode_output, tokenize_with_image
 from .kv_cache import make_kv_cache
 from .paged_kv import (
@@ -635,6 +636,11 @@ class ContinuousOCREngine:
                 "speculative accept test compares deterministic picks"
             )
         n_lookup_forwards = 0
+        # DEEPSEEK_DEBUG_SERVE: per-phase wall-clock trace of the serve loop
+        # (admission / decode-chunk / harvest / host-preprocess waits) — the
+        # tool for finding where end-to-end pages/s goes vs the device-only
+        # benches.
+        trace = enabled("DEEPSEEK_DEBUG_SERVE")
 
         # int8 pools quantize at the pool boundary; the transient contiguous
         # prefill cache stays in the activation float dtype.
@@ -693,10 +699,14 @@ class ContinuousOCREngine:
             n_prompt_pages = pages_for(s, page)
             prefill_cap = n_prompt_pages * page
 
-            bases = np.concatenate([p[0] for p in pre])  # [G, 3, S, S]
+            # Pixel tensors may already be ON DEVICE (the prefetch worker
+            # stages uint8 pixels with device_put during decode chunks, so
+            # the host->device transfer overlaps compute); jnp.asarray is a
+            # no-op for those and transfers any host stragglers.
+            bases = jnp.concatenate([jnp.asarray(p[0]) for p in pre])  # [G, 3, S, S]
             patches = None
             if pre[0][1] is not None:
-                patches = np.stack([p[1] for p in pre])  # [G, P, 3, c, c]
+                patches = jnp.stack([jnp.asarray(p[1]) for p in pre])  # [G, P, 3, c, c]
 
             from .engine import _batched_vision_prefill
 
@@ -705,8 +715,8 @@ class ContinuousOCREngine:
                 pipe.params,
                 cfg,
                 ids_arr,
-                jnp.asarray(bases),
-                None if patches is None else jnp.asarray(patches),
+                bases,
+                patches,
                 image_start,
                 pipe.act_dtype,
             )
@@ -767,6 +777,11 @@ class ContinuousOCREngine:
             # freeze host-side done view for slots finishing on token 1.
             done0_h = np.asarray(done0)
             dt = time.perf_counter() - t0
+            if trace:
+                dbg_print(
+                    "DEEPSEEK_DEBUG_SERVE",
+                    f"serve.admit g={g} prompt_len={s} {dt * 1e3:.1f} ms",
+                )
             for row, slot in enumerate(slot_ids):
                 done_np[slot] = bool(done0_h[row])
                 lens_np[slot] = s + 1
@@ -784,12 +799,20 @@ class ContinuousOCREngine:
         pre_ahead = max(2 * b, 8)
 
         def _preprocess(req: OCRRequest):
-            return pipe.preprocess_image(
+            base, patches, ratio, rot = pipe.preprocess_image(
                 req.image,
                 no_crop=req.no_crop,
                 rotate=req.rotate,
                 auto_rotate=req.auto_rotate,
             )
+            # Stage pixels on device NOW (uint8: 4x fewer bytes than f32).
+            # From the prefetch worker this overlaps the host->device
+            # transfer with decode-chunk waits — on a tunneled/PCIe link the
+            # pixel transfer is the dominant admission cost, not the resize.
+            base = jax.device_put(base)
+            if patches is not None:
+                patches = jax.device_put(patches)
+            return (base, patches, ratio, rot)
 
         def _prefetch_worker():
             while True:
@@ -835,6 +858,8 @@ class ContinuousOCREngine:
             """Preprocess synchronously where the prefetcher hasn't; failed
             requests resolve with their error and drop out of the queue."""
             ok = []
+            t_pre0 = time.perf_counter()
+            n_sync = 0
             for r in reqs:
                 with cv:
                     while r in pre_in_flight:  # worker already on it
@@ -845,6 +870,7 @@ class ContinuousOCREngine:
                         ok.append(r)
                         continue
                     pre_in_flight.add(r)
+                n_sync += 1
                 try:
                     out = _preprocess(r)
                 except Exception as e:  # unreadable image etc.
@@ -860,6 +886,12 @@ class ContinuousOCREngine:
                     pre_in_flight.discard(r)
                     cv.notify_all()
                 ok.append(r)
+            if trace:
+                dbg_print(
+                    "DEEPSEEK_DEBUG_SERVE",
+                    f"serve.preprocess n={len(reqs)} sync={n_sync} "
+                    f"{(time.perf_counter() - t_pre0) * 1e3:.1f} ms",
+                )
             return ok
 
         def admit_pending():
@@ -1032,34 +1064,40 @@ class ContinuousOCREngine:
                 req._stream_q.put(new_ids)
 
         def harvest():
-            """Finalize finished slots; free their pages; resolve futures."""
+            """Finalize finished slots; free their pages; resolve futures.
+            ONE batched row-gather transfer for all finished slots (a
+            per-slot np.asarray costs a full ~30 ms dispatch round-trip
+            each on this platform)."""
             nonlocal tokens
             now = time.perf_counter()
-            for slot in list(slot_req):
-                if done_np[slot]:
-                    req = slot_req.pop(slot)
-                    total = int(lens_np[slot])
-                    all_ids = np.asarray(tokens[slot, :total]).tolist()
-                    p_len = prompt_lens.pop(slot)
-                    slot_limits.pop(slot)
-                    gen_ids = all_ids[p_len:]
-                    text = decode_output(pipe.tokenizer, gen_ids, cfg.stop_string)
-                    alloc.release(slot_pages.pop(slot))
-                    block_tables_np[slot] = 0
-                    if req.stream and len(gen_ids) > req._n_streamed:
-                        tail = gen_ids[req._n_streamed :]
-                        req._n_streamed = len(gen_ids)
-                        req._stream_q.put(tail)
-                    req._finish(
-                        result=GenerationResult(
-                            text=text,
-                            token_ids=all_ids,
-                            prompt_len=p_len,
-                            prefill_seconds=prefill_t.pop(slot),
-                            decode_seconds=now - admit_t.pop(slot),
-                            new_tokens=len(gen_ids),
-                        )
+            fin = [slot for slot in list(slot_req) if done_np[slot]]
+            if not fin:
+                return
+            toks_h = np.asarray(tokens[jnp.asarray(fin, jnp.int32)])  # [F, cap]
+            for row, slot in enumerate(fin):
+                req = slot_req.pop(slot)
+                total = int(lens_np[slot])
+                all_ids = toks_h[row, :total].tolist()
+                p_len = prompt_lens.pop(slot)
+                slot_limits.pop(slot)
+                gen_ids = all_ids[p_len:]
+                text = decode_output(pipe.tokenizer, gen_ids, cfg.stop_string)
+                alloc.release(slot_pages.pop(slot))
+                block_tables_np[slot] = 0
+                if req.stream and len(gen_ids) > req._n_streamed:
+                    tail = gen_ids[req._n_streamed :]
+                    req._n_streamed = len(gen_ids)
+                    req._stream_q.put(tail)
+                req._finish(
+                    result=GenerationResult(
+                        text=text,
+                        token_ids=all_ids,
+                        prompt_len=p_len,
+                        prefill_seconds=prefill_t.pop(slot),
+                        decode_seconds=now - admit_t.pop(slot),
+                        new_tokens=len(gen_ids),
                     )
+                )
 
         def has_work():
             with cv:
@@ -1087,9 +1125,13 @@ class ContinuousOCREngine:
                 # In-flight slots get pages first; admission takes the
                 # leftovers (admitting into pages a live slot is about to
                 # need would just preempt the new arrival again).
+                t_it0 = time.perf_counter()
                 grow_pages()
                 admit_pending()
+                t_it1 = time.perf_counter()
+                did_decode = False
                 if slot_req and not all(done_np[s] for s in slot_req):
+                    did_decode = True
                     if use_lookup:
                         cache, tokens, cur_lens, done, status = decode_chunk_lookup(
                             lm,
@@ -1129,7 +1171,18 @@ class ContinuousOCREngine:
                     lens_np[:] = status_h[:b]
                     done_np[:] = status_h[b : 2 * b].astype(bool)
                     emit_stream()
+                t_it2 = time.perf_counter()
                 harvest()
+                if trace:
+                    n_act = sum(1 for s2 in slot_req if not done_np[s2])
+                    dbg_print(
+                        "DEEPSEEK_DEBUG_SERVE",
+                        f"serve.iter grow+admit={(t_it1 - t_it0) * 1e3:.1f} ms "
+                        f"decode={(t_it2 - t_it1) * 1e3:.1f} ms"
+                        f"{'' if did_decode else ' (skipped)'} "
+                        f"harvest={(time.perf_counter() - t_it2) * 1e3:.1f} ms "
+                        f"active={n_act}",
+                    )
         finally:
             with cv:
                 serve_done = True

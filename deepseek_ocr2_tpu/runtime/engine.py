@@ -33,9 +33,9 @@ from .kv_cache import bucket_capacity
 
 @functools.partial(jax.jit, static_argnames=("cfg", "image_start", "act_dtype"))
 def _batched_vision_prefill(params, cfg, input_ids, image_base, patches, image_start, act_dtype):
-    image_base = image_base.astype(jnp.dtype(act_dtype))
+    image_base = ocr2.normalize_pixels(image_base, act_dtype)
     if patches is not None:
-        patches = patches.astype(jnp.dtype(act_dtype))
+        patches = ocr2.normalize_pixels(patches, act_dtype)
     return ocr2.ocr_prefill_embeds_batched(
         params, cfg, input_ids, image_base, patches, image_start
     )

@@ -60,9 +60,9 @@ def _debug_lm_decode_step(lm_params, cfg, emb, cache, pos):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "image_start", "act_dtype"))
 def _vision_prefill(params, cfg: OCR2Config, input_ids, image_base, patches, image_start, act_dtype):
-    image_base = image_base.astype(jnp.dtype(act_dtype))
+    image_base = ocr2.normalize_pixels(image_base, act_dtype)
     if patches is not None:
-        patches = patches.astype(jnp.dtype(act_dtype))
+        patches = ocr2.normalize_pixels(patches, act_dtype)
     return ocr2.ocr_prefill_embeds(params, cfg, input_ids, image_base, patches, image_start)
 
 
@@ -119,7 +119,14 @@ class OCR2Pipeline:
         auto_rotate: bool = False,
     ) -> Tuple[np.ndarray, Optional[np.ndarray], Tuple[int, int], int]:
         """Returns (image_base [1,3,S,S], patches [P,3,c,c] or None,
-        crop_ratio, rotate_used)."""
+        crop_ratio, rotate_used).
+
+        Pixel arrays are uint8 (raw); every device prefill entry normalizes
+        them on device (models.deepseek_ocr2.normalize_pixels) bit-identically
+        to the host f32 path — shipping bytes instead of floats is 4x fewer
+        host->device bytes. The opt-in native C++ path still returns
+        host-normalized f32, which the same entries pass through unchanged.
+        """
         cfg = self.cfg
         img = Image.open(image).convert("RGB") if isinstance(image, str) else image.convert("RGB")
 
@@ -129,21 +136,36 @@ class OCR2Pipeline:
         dbg_print("DEEPSEEK_DEBUG_OCR", f"rotate_used={rotate_used}")
         img = rotate_image(img, rotate_used)
 
+        from ..preprocess.image import (
+            candidate_ratios,
+            find_closest_aspect_ratio,
+            preprocess_base_nchw,
+            preprocess_base_u8,
+            preprocess_tiles_nchw,
+            preprocess_tiles_u8,
+            use_native,
+        )
+
+        native = use_native()
         patches = None
         crop_ratio = (1, 1)
         if should_crop(img, not no_crop, cfg.crop_image_size):
-            from ..preprocess.image import candidate_ratios, find_closest_aspect_ratio, preprocess_tiles_nchw
-
             w, h = img.size
             ratios = candidate_ratios(cfg.min_crop_tiles, cfg.max_crop_tiles)
             crop_ratio = find_closest_aspect_ratio(
                 w / h, ratios, w, h, cfg.crop_image_size
             )
-            patches = preprocess_tiles_nchw(img, cfg.crop_image_size, crop_ratio)
+            patches = (
+                preprocess_tiles_nchw(img, cfg.crop_image_size, crop_ratio)
+                if native
+                else preprocess_tiles_u8(img, cfg.crop_image_size, crop_ratio)
+            )
 
-        from ..preprocess.image import preprocess_base_nchw
-
-        image_base = preprocess_base_nchw(img, cfg.base_image_size, cfg.pad_color)
+        image_base = (
+            preprocess_base_nchw(img, cfg.base_image_size, cfg.pad_color)
+            if native
+            else preprocess_base_u8(img, cfg.base_image_size, cfg.pad_color)
+        )
         return image_base, patches, crop_ratio, rotate_used
 
     def generate_ocr(
@@ -190,7 +212,8 @@ class OCR2Pipeline:
             from ..models import sam as sam_mod
 
             def tower(imgs, tag):
-                feats = sam_mod.sam_forward(self.params["sam"], cfg.sam, jnp.asarray(imgs))
+                imgs = ocr2.normalize_pixels(jnp.asarray(imgs), jnp.float32)
+                feats = sam_mod.sam_forward(self.params["sam"], cfg.sam, imgs)
                 dbg_stats("DEEPSEEK_DEBUG_VISION", f"vision.{tag}.sam", feats)
                 feats = qwen2_mod.qwen2_encode(self.params["qwen2"], cfg.qwen2, feats)
                 dbg_stats("DEEPSEEK_DEBUG_VISION", f"vision.{tag}.qwen2", feats)

@@ -163,7 +163,7 @@ def ocr_loss(
     params,  # composite tree: {"lm", "sam", "qwen2", "projector", "view_seperator"}
     cfg,  # OCR2Config
     ids: jnp.ndarray,  # [B, S] with the placeholder block at image_start
-    image_base: jnp.ndarray,  # [B, 3, S_img, S_img] normalized to [-1, 1]
+    image_base: jnp.ndarray,  # [B, 3, S_img, S_img]: [-1,1] floats or raw uint8
     patches,  # [B, P, 3, c, c] or None
     image_start: int,
     loss_mask: jnp.ndarray,  # [B, S] 1.0 where the token is a training target
@@ -172,9 +172,13 @@ def ocr_loss(
     injection + LM), i.e. OCR fine-tuning on (image, transcript) pairs.
     Gradients flow into SAM/Qwen2/projector/separator as well as the LM;
     freeze towers by masking the optimizer (optax.masked) if desired."""
-    from ..models.deepseek_ocr2 import ocr_prefill_embeds_batched
+    from ..models.deepseek_ocr2 import normalize_pixels, ocr_prefill_embeds_batched
 
     b, s = ids.shape
+    act = image_base.dtype if image_base.dtype != jnp.uint8 else jnp.bfloat16
+    image_base = normalize_pixels(image_base, act)
+    if patches is not None:
+        patches = normalize_pixels(patches, act)
     embeds = ocr_prefill_embeds_batched(
         params, cfg, ids, image_base, patches, image_start
     )

@@ -142,3 +142,25 @@ def test_tokenize_with_image_counts():
     assert sum(mask) == n_img
     # text after the image block survived
     assert len(ids) > start + n_img
+
+
+def test_u8_device_normalize_bit_exact():
+    """Shipping raw uint8 + device normalize must be BIT-identical to the
+    host f32 normalize (images_to_nchw): same f32 op sequence, IEEE-exact
+    under XLA. This pins the u8-transfer admission fast path."""
+    import jax.numpy as jnp
+
+    from deepseek_ocr2_tpu.models.deepseek_ocr2 import normalize_pixels
+    from deepseek_ocr2_tpu.preprocess import images_to_u8_nchw
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 256, (17, 23, 3), np.uint8))
+    host = images_to_nchw([img])
+    u8 = images_to_u8_nchw([img])
+    assert u8.dtype == np.uint8 and u8.shape == host.shape
+    dev = np.asarray(normalize_pixels(jnp.asarray(u8), jnp.float32))
+    assert dev.dtype == np.float32
+    np.testing.assert_array_equal(dev, host)
+    # Float inputs pass through the same entry unchanged (native-path compat).
+    back = np.asarray(normalize_pixels(jnp.asarray(host), jnp.float32))
+    np.testing.assert_array_equal(back, host)
