@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
             "experts, lm_head); supersedes --moe-int8",
         )
         sp.add_argument(
+            "--int4",
+            action="store_true",
+            help="weight-only int4 (w4a16, group-128 scales) for ALL decode "
+            "weights — half the int8 weight bytes, larger quantization "
+            "error; supersedes --int8/--moe-int8",
+        )
+        sp.add_argument(
             "--lookup-decode",
             type=int,
             default=0,
@@ -257,11 +264,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _int8_scope(args):
+    """(scope, bits) requested by the quantization flags; scope None = off."""
+    if getattr(args, "int4", False):
+        return "full", 4
     if getattr(args, "int8", False):
-        return "full"
+        return "full", 8
     if getattr(args, "moe_int8", False):
-        return "experts"
-    return None
+        return "experts", 8
+    return None, 8
 
 
 def _kv_dtype_arg(value: str) -> str:
@@ -387,13 +397,13 @@ def _load_ocr_pipeline(args):
     if args.trim_memory:
         _trim_memory(args.weights)
 
-    scope = _int8_scope(args)
+    scope, bits = _int8_scope(args)
     if scope:
         from .models.deepseek_v2 import quantize_lm_params
 
         params = dict(params)
-        params["lm"] = quantize_lm_params(params["lm"], scope=scope)
-        print(f"int8: LM weights quantized (scope={scope})", file=sys.stderr)
+        params["lm"] = quantize_lm_params(params["lm"], scope=scope, bits=bits)
+        print(f"int{bits}: LM weights quantized (scope={scope})", file=sys.stderr)
 
     tokenizer = load_tokenizer(args.tokenizer)
     act = "float32" if vision_default == "float32" else "bfloat16"
@@ -447,12 +457,12 @@ def cmd_generate_text(args) -> int:
     if args.trim_memory:
         _trim_memory(args.weights)
 
-    scope = _int8_scope(args)
+    scope, bits = _int8_scope(args)
     if scope:
         from .models.deepseek_v2 import quantize_lm_params
 
-        params = quantize_lm_params(params, scope=scope)
-        print(f"int8: LM weights quantized (scope={scope})", file=sys.stderr)
+        params = quantize_lm_params(params, scope=scope, bits=bits)
+        print(f"int{bits}: LM weights quantized (scope={scope})", file=sys.stderr)
 
     tokenizer = load_tokenizer(args.tokenizer)
     cfg = OCR2Config(lm=lm_cfg, eos_token_id=args.eos_token_id)

@@ -424,15 +424,15 @@ def _lift_experts_for_decode(layers_moe, n_rows: int, cfg: DeepseekV2Config):
     return layers_moe, None
 
 
-def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
-    """Weight-only int8 quantization (opt-in).
+def quantize_lm_params(params: Params, scope: str = "experts", bits: int = 8) -> Params:
+    """Weight-only quantization (opt-in), int8 (default) or int4.
 
     scope="experts": routed experts only — replaces the stacked
-    `layers_moe.experts` with a per-layer list of int8 tensors + scales under
-    `moe_q8`. Per-layer (unstacked) storage matters: the fused Pallas decode
-    kernel is an opaque custom call, so a scan-sliced stacked operand would be
-    materialized (copying the whole layer's experts every step) — separate
-    buffers stream exactly the selected experts.
+    `layers_moe.experts` with a per-layer list of quantized tensors + scales
+    under `moe_q8`. Per-layer (unstacked) storage matters: the fused Pallas
+    decode kernel is an opaque custom call, so a scan-sliced stacked operand
+    would be materialized (copying the whole layer's experts every step) —
+    separate buffers stream exactly the selected experts.
 
     scope="full": additionally quantizes the rest of the decode-step weight
     bandwidth — attention projections (q/k/v fused into one [H, 3H] stream),
@@ -440,11 +440,24 @@ def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
     stored per-layer under `q8_layers` / `q8_lm_head`. Routers, norms and the
     embedding stay in the model dtype (routing is discontinuous: quantizing
     the gate risks flipping expert selection; the embedding is a gather).
+
+    bits=4 stores the same containers with int4 payloads (block-local
+    split-half packing + group-128 scales, ops/linear_q4) — the `q8`-named
+    top-level keys then hold self-describing `q4`/`gu_q4` dicts so every
+    downstream dispatch (qmm, _q8_ffn, paged decode, sharding specs) keys on
+    the leaf names, not the container names.
     """
-    from ..ops.linear_q8 import quantize_linear
-    from ..ops.moe_q8 import quantize_experts
+    from ..ops.linear_q8 import quantize_linear as quantize_linear_q8
+    from ..ops.moe_q8 import quantize_experts as quantize_experts_q8
 
     assert scope in ("experts", "full"), scope
+    assert bits in (8, 4), bits
+    if bits == 4:
+        from ..ops.linear_q4 import quantize_linear_q4 as quantize_linear
+        from ..ops.moe_q4 import quantize_experts_q4 as quantize_experts
+    else:
+        quantize_linear = quantize_linear_q8
+        quantize_experts = quantize_experts_q8
     new = dict(params)
     moe = dict(params["layers_moe"])
     experts = moe.pop("experts")
@@ -493,7 +506,8 @@ def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
     # swiglu_q8 launch per layer and lets the shared bytes ride the same
     # double-buffered weight stream. Per-column scales over the halves are
     # at least as tight as over the fused stream.
-    i_e = new["moe_q8"][0]["gu_q8"].shape[-1] // 2
+    gu_key = "gu_q4" if bits == 4 else "gu_q8"
+    i_e = new["moe_q8"][0][gu_key].shape[-1] // 2
     i_tot = shared["gate"].shape[-1]
     if i_tot % i_e == 0:
         n_sh = i_tot // i_e
@@ -520,14 +534,21 @@ def quantize_lm_params(params: Params, scope: str = "experts") -> Params:
 def vocab_size_of(params: Params) -> int:
     if "lm_head" in params:
         return params["lm_head"].shape[-1]
-    return params["q8_lm_head"]["q8"].shape[-1]
+    head = params["q8_lm_head"]
+    return head["q4" if "q4" in head else "q8"].shape[-1]
 
 
-def _dequantize_experts(q8, dtype):
-    """Rebuild gate/up/down from the fused gu stream for the XLA MoE paths."""
-    gu = (q8["gu_q8"].astype(jnp.float32) * q8["gu_scale"]).astype(dtype)
+def _dequantize_experts(qd, dtype, cfg: "DeepseekV2Config" = None):
+    """Rebuild gate/up/down from the fused gu stream for the XLA MoE paths
+    (int8 or int4 expert dicts)."""
+    if "gu_q4" in qd:
+        from ..ops.moe_q4 import dequantize_experts_q4
+
+        h = qd["down_q4"].shape[-1]
+        return dequantize_experts_q4(qd, dtype, cfg.moe_intermediate_size, h)
+    gu = (qd["gu_q8"].astype(jnp.float32) * qd["gu_scale"]).astype(dtype)
     i = gu.shape[-1] // 2
-    down = (q8["down_q8"].astype(jnp.float32) * q8["down_scale"]).astype(dtype)
+    down = (qd["down_q8"].astype(jnp.float32) * qd["down_scale"]).astype(dtype)
     return {"gate": gu[..., :i], "up": gu[..., i:], "down": down}
 
 
@@ -982,8 +1003,9 @@ def _q8_ffn(
     decode: bool,
     is_prefill: bool,
 ) -> jnp.ndarray:
-    """FFN for the q8 paths: dense SwiGLU or routed+shared MoE, with each
-    weight either bf16 (experts-only scope) or int8."""
+    """FFN for the quantized paths: dense SwiGLU or routed+shared MoE, with
+    each weight either bf16 (experts-only scope), int8, or int4 (the expert
+    dict's key names select the kernel family)."""
     from ..ops.flash_attention import pallas_enabled
     from ..ops.linear_q8 import swiglu_q8
     from ..ops.moe_q8 import moe_ffn_decode_q8
@@ -994,6 +1016,8 @@ def _q8_ffn(
         return swiglu(x_flat, layer["mlp"]["gate"], layer["mlp"]["up"], layer["mlp"]["down"])
 
     weights, idx = route(x_flat, layer["router"], cfg.num_experts_per_tok)
+    q4 = "gu_q4" in q8_experts
+    pe_key = "pe_gu_q4" if q4 else "pe_gu_q8"
     # When pe_* streams exist (full-scope quantization), the decode kernels
     # fold the shared MLP in as always-on pseudo-expert visits — no separate
     # shared launch. The per-selection kernel only merges at b=1 (larger b
@@ -1003,17 +1027,29 @@ def _q8_ffn(
         if x_flat.shape[0] * cfg.num_experts_per_tok > cfg.n_routed_experts:
             # Serving batches: one visit per distinct expert (the per-
             # selection kernel re-reads shared experts ~3x at b=32).
-            from ..ops.moe_decode import moe_ffn_decode_q8_fused
+            shared_merged = pe_key in q8_experts
+            if q4:
+                from ..ops.moe_q4 import moe_ffn_decode_q4_fused
 
-            shared_merged = "pe_gu_q8" in q8_experts
-            routed = moe_ffn_decode_q8_fused(x_flat, q8_experts, weights, idx)
+                routed = moe_ffn_decode_q4_fused(x_flat, q8_experts, weights, idx)
+            else:
+                from ..ops.moe_decode import moe_ffn_decode_q8_fused
+
+                routed = moe_ffn_decode_q8_fused(x_flat, q8_experts, weights, idx)
         else:
-            shared_merged = "pe_gu_q8" in q8_experts and x_flat.shape[0] == 1
-            routed = moe_ffn_decode_q8(
-                x_flat, q8_experts, weights, idx, with_shared=shared_merged
-            )
+            shared_merged = pe_key in q8_experts and x_flat.shape[0] == 1
+            if q4:
+                from ..ops.moe_q4 import moe_ffn_decode_q4
+
+                routed = moe_ffn_decode_q4(
+                    x_flat, q8_experts, weights, idx, with_shared=shared_merged
+                )
+            else:
+                routed = moe_ffn_decode_q8(
+                    x_flat, q8_experts, weights, idx, with_shared=shared_merged
+                )
     else:
-        deq = _dequantize_experts(q8_experts, x_flat.dtype)
+        deq = _dequantize_experts(q8_experts, x_flat.dtype, cfg)
         if is_prefill:
             routed = moe_ffn_prefill(x_flat, deq, weights, idx)
         else:

@@ -53,7 +53,7 @@ def _pad_x(x: jnp.ndarray, k_in: int) -> jnp.ndarray:
 
 
 def is_qlinear(w) -> bool:
-    return isinstance(w, dict) and "q8" in w
+    return isinstance(w, dict) and ("q8" in w or "q4" in w)
 
 
 def _pick_block_o(in_dim: int, out_dim: int, budget_bytes: int = 4 * 1024 * 1024) -> int:
@@ -187,7 +187,8 @@ def linear_q8_xla(x: jnp.ndarray, w: QLinear, *, out_dtype=None) -> jnp.ndarray:
 
 
 def qmm(x: jnp.ndarray, w, *, decode: bool = False, out_dtype=None) -> jnp.ndarray:
-    """Matmul that transparently handles bf16 tensors or QLinear dicts.
+    """Matmul that transparently handles bf16 tensors or QLinear/QLinear4
+    dicts (int8 "q8" or int4 "q4" key — see ops/linear_q4).
 
     x: [B, In]. `decode=True` selects the fused Pallas kernel (small-batch,
     bandwidth-bound); prefill takes the XLA dequant path.
@@ -197,6 +198,12 @@ def qmm(x: jnp.ndarray, w, *, decode: bool = False, out_dtype=None) -> jnp.ndarr
         return y.astype(out_dtype) if out_dtype is not None else y
     from .flash_attention import pallas_enabled
 
+    if "q4" in w:
+        from .linear_q4 import linear_q4, linear_q4_xla
+
+        if decode and pallas_enabled():
+            return linear_q4(x, w, out_dtype=out_dtype)
+        return linear_q4_xla(x, w, out_dtype=out_dtype)
     if decode and pallas_enabled():
         return linear_q8(x, w, out_dtype=out_dtype)
     return linear_q8_xla(x, w, out_dtype=out_dtype)

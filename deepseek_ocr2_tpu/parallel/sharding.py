@@ -86,19 +86,31 @@ def lm_param_specs_q8(cfg: DeepseekV2Config, params: Dict[str, Any]) -> Dict[str
     configuration token-exactly against the unsharded q8 decode.
     """
 
+    q4 = any("gu_q4" in e for e in params["moe_q8"])
+
     def qlin_row():  # contraction-axis (input) sharded
+        if q4:
+            # int4 packed rows come in 128-row blocks (256 original rows,
+            # ops/linear_q4 block-local split-half); an `mp` cut of the
+            # packed axis need not land on a block boundary, so q4 linears
+            # shard the *output* axis instead — always block-safe, and the
+            # group scales follow the same axis.
+            return {"q4": P(None, "mp"), "scale": P(None, "mp")}
         return {"q8": P("mp", None), "scale": P(None, None)}
 
     def qlin_col():  # output-axis sharded (scales follow the output axis)
+        if q4:
+            return {"q4": P(None, "mp"), "scale": P(None, "mp")}
         return {"q8": P(None, "mp"), "scale": P(None, "mp")}
 
     def expert_q8_specs(entry):
-        # gu (gate||up fused): q8 [E, H, 2I], scale [E, 1, 2I]; down: [E, I, H].
-        s = {
-            f"{name}_{part}": P("mp", None, None)
-            for name in ("gu", "down")
-            for part in ("q8", "scale")
-        }
+        # q8: gu (gate||up fused) [E, H, 2I], scale [E, 1, 2I]; down [E, I, H].
+        # q4: gu_q4 [E, Hp/2, 2I], gu_scale [E, Hp/128, 2I], ... — the E axis
+        # is unpacked either way, so EP sharding is identical.
+        names = ("gu_q4", "gu_scale", "down_q4", "down_scale") if "gu_q4" in entry else (
+            "gu_q8", "gu_scale", "down_q8", "down_scale"
+        )
+        s = {name: P("mp", None, None) for name in names}
         # Shared pseudo-expert streams (full scope): [n_sh, ...] with n_sh
         # tiny and always-on for every token — replicate.
         for key in entry:
