@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
             help="prompt-lookup speculative greedy decoding with this chunk "
             "width (single sequence; verified drafts, greedy-exact output)",
         )
+        sp.add_argument(
+            "--device-resize",
+            action="store_true",
+            help="run resize/letterbox/tiling on the TPU (PIL-bit-exact "
+            "fixed-point GEMMs) instead of host PIL — lifts the 1-core "
+            "host's resize ceiling in crop mode",
+        )
         sp.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
         sp.add_argument("--top-k", type=int, default=0)
         sp.add_argument("--top-p", type=float, default=1.0)
@@ -411,6 +418,7 @@ def _load_ocr_pipeline(args):
         OCR2Pipeline(
             params, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act,
             lookup_chunk=getattr(args, "lookup_decode", 0),
+            device_resize=True if getattr(args, "device_resize", False) else None,
         ),
         cfg,
     )

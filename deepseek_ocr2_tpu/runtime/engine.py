@@ -101,9 +101,12 @@ class OCR2Engine:
 
         cfg = self.pipe.cfg
         b = len(chunk)
-        bases = np.stack([base for _, base, _ in chunk])  # [B, 3, S, S]
+        # Device-resized pixels are already jax arrays: stack on device rather
+        # than forcing a device->host round trip through np.stack.
+        stack = jnp.stack if isinstance(chunk[0][1], jax.Array) else np.stack
+        bases = stack([base for _, base, _ in chunk])  # [B, 3, S, S]
         if chunk[0][2] is not None:
-            patches = np.stack([p for _, _, p in chunk])  # [B, P, 3, c, c]
+            patches = stack([p for _, _, p in chunk])  # [B, P, 3, c, c]
         else:
             patches = None
 

@@ -80,6 +80,7 @@ class OCR2Pipeline:
         kv_dtype: str = "bfloat16",
         act_dtype: str = "bfloat16",
         lookup_chunk: int = 0,
+        device_resize: Optional[bool] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -89,6 +90,10 @@ class OCR2Pipeline:
         # > 0 enables prompt-lookup speculative greedy decoding with this
         # chunk width (single-sequence, greedy only).
         self.lookup_chunk = lookup_chunk
+        # Resize/letterbox/tile on device (PIL-bit-exact GEMM path) instead of
+        # host PIL — breaks the 1-core host's resize ceiling in crop mode.
+        # None defers to the DEEPSEEK_DEVICE_RESIZE env flag.
+        self.device_resize = device_resize
 
     # -- text ---------------------------------------------------------------
 
@@ -149,12 +154,32 @@ class OCR2Pipeline:
         native = use_native()
         patches = None
         crop_ratio = (1, 1)
-        if should_crop(img, not no_crop, cfg.crop_image_size):
+        cropping = should_crop(img, not no_crop, cfg.crop_image_size)
+        if cropping:
             w, h = img.size
             ratios = candidate_ratios(cfg.min_crop_tiles, cfg.max_crop_tiles)
             crop_ratio = find_closest_aspect_ratio(
                 w / h, ratios, w, h, cfg.crop_image_size
             )
+
+        device = self.device_resize
+        if device is None:
+            import os
+
+            device = os.environ.get("DEEPSEEK_DEVICE_RESIZE", "") not in ("", "0")
+        if device and not native:
+            from ..preprocess.device_resize import device_preprocess_page
+
+            image_base, patches = device_preprocess_page(
+                np.asarray(img),
+                cfg.base_image_size,
+                cfg.crop_image_size,
+                crop_ratio if cropping else None,
+                cfg.pad_color,
+            )
+            return image_base, patches, crop_ratio, rotate_used
+
+        if cropping:
             patches = (
                 preprocess_tiles_nchw(img, cfg.crop_image_size, crop_ratio)
                 if native

@@ -597,3 +597,21 @@ def test_continuous_streaming_preemption_no_dup_no_gap(setup):
     assert engine.last_preempted >= 1, "pool sizing did not force a preemption"
     for got, res in outs:
         assert got == res.token_ids[res.prompt_len:]
+
+
+def test_continuous_device_resize_token_exact(setup):
+    """Continuous engine with the device-resize pixel path (prefetch worker
+    stages device-resized uint8) is token-exact vs the host-PIL single-page
+    pipeline."""
+    cfg, pipe = setup
+    pages = _pages(3)
+    singles = [pipe.generate_ocr(p, max_new_tokens=5, ngram_size=3) for p in pages]
+    pipe.device_resize = True
+    try:
+        engine = ContinuousOCREngine(pipe, slots=2, capacity=128, chunk_steps=4)
+        batched = engine.run(pages, max_new_tokens=5, ngram_size=3)
+    finally:
+        pipe.device_resize = None
+    for i, (s, b) in enumerate(zip(singles, batched)):
+        assert b is not None, i
+        assert b.token_ids == s.token_ids, i

@@ -72,3 +72,24 @@ def test_engine_lookup_decode_matches_plain(pipe):
     finally:
         pipe.lookup_chunk = 0
     assert [r.token_ids for r in spec] == [r.token_ids for r in plain]
+
+
+def test_device_resize_token_exact(pipe):
+    """Pipeline + engine with --device-resize produce the same tokens as the
+    host-PIL path (the device resize is bit-identical, so greedy output is
+    byte-for-byte equal)."""
+    rng = np.random.default_rng(13)
+    pages = [
+        Image.fromarray(rng.integers(0, 256, (300, 500, 3), np.uint8)),  # crops
+        Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8)),  # no-crop
+    ]
+    host = [pipe.generate_ocr(p, max_new_tokens=5, ngram_size=2) for p in pages]
+    pipe.device_resize = True
+    try:
+        dev = [pipe.generate_ocr(p, max_new_tokens=5, ngram_size=2) for p in pages]
+        eng = OCR2Engine(pipe, batch_size=2).run(pages, max_new_tokens=5, ngram_size=2)
+    finally:
+        pipe.device_resize = None
+    for h, d, e in zip(host, dev, eng):
+        assert d.token_ids == h.token_ids
+        assert e.token_ids == h.token_ids
