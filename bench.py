@@ -240,6 +240,12 @@ def main() -> None:
     decode_tps_q8 = measure_decode_tps(lm_q8, 1)
     decode_tps_q8_b8 = measure_decode_tps(lm_q8, 8)
 
+    # Weight-only int4 (w4a16), full scope: block-local split-half packing +
+    # group-128 scales, fused nibble-unpack kernels (ops/linear_q4, moe_q4).
+    lm_q4 = quantize_lm_params(params["lm"], scope="full", bits=4)
+    decode_tps_q4 = measure_decode_tps(lm_q4, 1)
+    decode_tps_q4_b8 = measure_decode_tps(lm_q4, 8)
+
     # HBM-bandwidth utilization (roofline): byte model / measured step time.
     kv_len_mid = prompt_len + 80  # midpoint of the 128-token difference window
     bw_util = lambda tps, lm: (
@@ -247,6 +253,8 @@ def main() -> None:
     )
     hbm_util = bw_util(decode_tps, params["lm"])
     hbm_util_q8 = bw_util(decode_tps_q8, lm_q8)
+    hbm_util_q4 = bw_util(decode_tps_q4, lm_q4)
+    del lm_q4
 
     # Crop-mode config (#3): 2x1 dynamic tiling + global view, batch 4.
     crop_b = 4
@@ -357,8 +365,11 @@ def main() -> None:
                 "decode_tok_per_sec_b8": round(decode_tps_b8, 1),
                 "decode_tok_per_sec_int8": round(decode_tps_q8, 1),
                 "decode_tok_per_sec_int8_b8": round(decode_tps_q8_b8, 1),
+                "decode_tok_per_sec_int4": round(decode_tps_q4, 1),
+                "decode_tok_per_sec_int4_b8": round(decode_tps_q4_b8, 1),
                 "hbm_bw_util_pct": round(100 * hbm_util, 1),
                 "hbm_bw_util_pct_int8": round(100 * hbm_util_q8, 1),
+                "hbm_bw_util_pct_int4": round(100 * hbm_util_q4, 1),
                 "first_token_ms": round(first_token_ms, 1),
                 "crop_pages_per_sec": round(crop_pages_per_sec, 3),
                 "crop_pages_per_sec_int8": round(crop_pages_per_sec_q8, 3),

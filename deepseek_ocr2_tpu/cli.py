@@ -90,10 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
         )
         sp.add_argument(
             "--device-resize",
-            action="store_true",
+            nargs="?",
+            const="auto",
+            default=None,
+            choices=["auto", "always", "off"],
             help="run resize/letterbox/tiling on the TPU (PIL-bit-exact "
-            "fixed-point GEMMs) instead of host PIL — lifts the 1-core "
-            "host's resize ceiling in crop mode",
+            "fixed-point GEMMs) instead of host PIL. Default 'auto' uses the "
+            "device only in crop mode (measured faster there; no-crop pages "
+            "keep the cheaper single host resize); 'always' forces it",
         )
         sp.add_argument("--temperature", type=float, default=0.0, help="0 = greedy")
         sp.add_argument("--top-k", type=int, default=0)
@@ -418,7 +422,9 @@ def _load_ocr_pipeline(args):
         OCR2Pipeline(
             params, cfg, tokenizer, kv_dtype=args.kv_cache, act_dtype=act,
             lookup_chunk=getattr(args, "lookup_decode", 0),
-            device_resize=True if getattr(args, "device_resize", False) else None,
+            device_resize={"auto": "auto", "always": True, "off": False}.get(
+                getattr(args, "device_resize", None)
+            ),
         ),
         cfg,
     )

@@ -80,7 +80,7 @@ class OCR2Pipeline:
         kv_dtype: str = "bfloat16",
         act_dtype: str = "bfloat16",
         lookup_chunk: int = 0,
-        device_resize: Optional[bool] = None,
+        device_resize: Union[bool, str, None] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -92,7 +92,8 @@ class OCR2Pipeline:
         self.lookup_chunk = lookup_chunk
         # Resize/letterbox/tile on device (PIL-bit-exact GEMM path) instead of
         # host PIL — breaks the 1-core host's resize ceiling in crop mode.
-        # None defers to the DEEPSEEK_DEVICE_RESIZE env flag.
+        # True = always, "auto" = only when cropping (the measured win), None
+        # defers to the DEEPSEEK_DEVICE_RESIZE env flag ("auto"/"1"/"0").
         self.device_resize = device_resize
 
     # -- text ---------------------------------------------------------------
@@ -166,7 +167,15 @@ class OCR2Pipeline:
         if device is None:
             import os
 
-            device = os.environ.get("DEEPSEEK_DEVICE_RESIZE", "") not in ("", "0")
+            env = os.environ.get("DEEPSEEK_DEVICE_RESIZE", "")
+            device = "auto" if env == "auto" else env not in ("", "0")
+        if device == "auto":
+            # Measured (scripts/bench_serve_resize.py, 2200x1700 pages): the
+            # device path wins only in crop mode (+49% serve pages/s), where
+            # the host would do 7 resizes per page; at no-crop the single
+            # host PIL resize beats shipping full-res pixels to the device
+            # (3.38 vs 1.68 pages/s). "auto" = device iff cropping.
+            device = cropping
         if device and not native:
             from ..preprocess.device_resize import device_preprocess_page
 

@@ -93,3 +93,21 @@ def test_device_resize_token_exact(pipe):
     for h, d, e in zip(host, dev, eng):
         assert d.token_ids == h.token_ids
         assert e.token_ids == h.token_ids
+
+
+def test_device_resize_auto_policy(pipe):
+    """device_resize="auto" routes crop-mode pages to the device pixel path
+    (jax.Array outputs) and no-crop pages to host PIL (np.ndarray) — the
+    measured-optimal split (scripts/bench_serve_resize.py)."""
+    rng = np.random.default_rng(17)
+    crop_page = Image.fromarray(rng.integers(0, 256, (300, 500, 3), np.uint8))
+    small_page = Image.fromarray(rng.integers(0, 256, (120, 160, 3), np.uint8))
+    pipe.device_resize = "auto"
+    try:
+        base_c, tiles_c, ratio_c, _ = pipe.preprocess_image(crop_page)
+        base_n, tiles_n, _, _ = pipe.preprocess_image(small_page)
+    finally:
+        pipe.device_resize = None
+    assert ratio_c != (1, 1) and tiles_c is not None
+    assert isinstance(base_c, jax.Array) and isinstance(tiles_c, jax.Array)
+    assert isinstance(base_n, np.ndarray) and tiles_n is None
