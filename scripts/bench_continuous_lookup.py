@@ -102,8 +102,15 @@ def main():
     rng = np.random.default_rng(0)
     pattern = rng.integers(2, 1000, 12)
     print(f"device: {jax.devices()[0]}  B={B} prompt={PROMPT} budget={BUDGET}")
-    for scope in ("bf16", "int8"):
-        p = dsv2.quantize_lm_params(params, scope="full") if scope == "int8" else params
+    scopes = sys.argv[1:] or ["bf16", "int8", "int4"]
+    for scope in scopes:
+        p = (
+            dsv2.quantize_lm_params(params, scope="full", bits=4)
+            if scope == "int4"
+            else dsv2.quantize_lm_params(params, scope="full")
+            if scope == "int8"
+            else params
+        )
         for kv in ("bfloat16", "int8"):
             for name, pat in (("repetitive", pattern), ("random", None)):
                 for chunk in (1, 2, 4):

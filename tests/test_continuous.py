@@ -254,6 +254,29 @@ def test_continuous_lookup_int8_runs(setup):
         assert g.token_ids == w.token_ids
 
 
+def test_continuous_lookup_int4_runs(setup):
+    """Full-scope int4 (w4a16) through the chunked paged lookup path must
+    produce the same tokens as plain int4 continuous decode."""
+    from deepseek_ocr2_tpu.models import deepseek_v2 as dsv2
+
+    cfg, pipe = setup
+    qparams = dict(pipe.params)
+    qparams["lm"] = dsv2.quantize_lm_params(pipe.params["lm"], scope="full", bits=4)
+    qpipe = OCR2Pipeline(
+        qparams, cfg, pipe.tokenizer, kv_dtype="float32", act_dtype="float32"
+    )
+    pages = _pages(2)
+    plain = ContinuousOCREngine(qpipe, slots=2, capacity=128, chunk_steps=4)
+    want = plain.run(pages, max_new_tokens=6, ngram_size=0)
+    engine = ContinuousOCREngine(
+        qpipe, slots=2, capacity=128, chunk_steps=4, lookup_chunk=3
+    )
+    got = engine.run(pages, max_new_tokens=6, ngram_size=0)
+    for w, g in zip(want, got):
+        assert g is not None
+        assert g.token_ids == w.token_ids
+
+
 def test_continuous_lookup_rejects_sampling(setup):
     cfg, pipe = setup
     engine = ContinuousOCREngine(pipe, slots=2, capacity=128, lookup_chunk=4)

@@ -96,6 +96,15 @@ def test_lookup_matches_plain_greedy_q8(setup):
     _run_both(cfg, q8, ids, max_new_tokens=24, ngram_size=3, eos_id=1, chunk=4)
 
 
+def test_lookup_matches_plain_greedy_q4(setup):
+    """Lookup decode through the int4 path (chunked w4a16 FFN + attention)."""
+    cfg, params = setup
+    q4 = dsv2.quantize_lm_params(params, scope="full", bits=4)
+    rng = np.random.default_rng(22)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size, (1, 10)), jnp.int32)
+    _run_both(cfg, q4, ids, max_new_tokens=24, ngram_size=3, eos_id=1, chunk=4)
+
+
 def test_batched_lookup_matches_plain_greedy(setup):
     """Per-row ragged acceptance must reproduce batched greedy exactly,
     including rows that hit EOS at different steps."""
