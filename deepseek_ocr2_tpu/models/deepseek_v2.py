@@ -886,6 +886,24 @@ def _decode_attention(
     """
     if xn.shape[1] > 1:
         mode = "pool"  # only the pool strategy implements chunk decode
+    cap = k_all.shape[3]
+    if (
+        xn.shape[1] == 1
+        and mode == "pool"
+        and isinstance(attn.get("wqkv"), dict)
+        and isinstance(attn.get("wo"), dict)
+        and cfg.head_dim % 128 == 0  # kernel lane slices need 128-alignment
+        and (cap <= 512 or cap % 512 == 0)  # even chunk walk
+    ):
+        # Quantized attention weights at s==1: one fused launch per layer
+        # (qkv GEMM + RoPE + flash attention over the pool + wo GEMM)
+        # instead of two qmm launches + the XLA attention chain.
+        from ..ops.attn_fused import attn_decode_fused, fused_attn_enabled
+
+        if fused_attn_enabled():
+            return attn_decode_fused(
+                xn, attn, cfg, cos, sin, k_all, v_all, li, pos
+            )
     if mode == "stacked":
         return _attention_decode_stacked(xn, attn, cfg, cos, sin, k_all, v_all, li, pos)
     if mode == "pool":
