@@ -248,7 +248,9 @@ def attn_decode_fused_raw(
     bits = 4 if "q4" in wqkv else 8
     wq_pack = wqkv["q4"] if bits == 4 else wqkv["q8"]
     wo_pack = wo["q4"] if bits == 4 else wo["q8"]
-    chunk = min(cap, 512)
+    # DEEPSEEK_FUSED_CHUNK ablation: smaller chunks give a (b, n_chunks)
+    # grid even at b=1 so the KV DMA pipelines against compute.
+    chunk = min(cap, int(os.environ.get("DEEPSEEK_FUSED_CHUNK", "512")))
     assert cap % chunk == 0, (cap, chunk)
     n_chunks = cap // chunk
     scale = 1.0 / math.sqrt(d)
