@@ -59,10 +59,17 @@ def pack_q4(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpack_q4(packed_i32: jnp.ndarray):
-    """i32 view of packed bytes -> (lo, hi) int4 values in i32 (sign-extended
-    via shift pairs; Mosaic lowers shifts only on i32 vectors)."""
+    """SIGN-EXTENDED i32 view of packed bytes (i.e. `packed_i8.astype(i32)`,
+    NOT `& 0xFF`-masked) -> (lo, hi) int4 values in i32.
+
+    The widen sign-extends the byte, so bit 7 (the high nibble's sign bit)
+    already fills bits 8..31 — one arithmetic shift recovers the high
+    nibble. The low nibble still needs the shift pair. 3 vector shifts per
+    byte instead of 4: the unpack is the VPU wall of the int4 decode MoE
+    (per-visit unpack/compute serialization, docs/DESIGN.md), so every op
+    per packed byte counts. Mosaic lowers shifts only on i32 vectors."""
     lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(packed_i32, 28), 28)
-    hi = jax.lax.shift_right_arithmetic(jax.lax.shift_left(packed_i32, 24), 28)
+    hi = jax.lax.shift_right_arithmetic(packed_i32, 4)
     return lo, hi
 
 
@@ -102,7 +109,7 @@ def dequantize_q4(q4: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32) -> jnp
     """Packed [..., Kp/2, Out] + scales [..., Kp/128, Out] -> [..., Kp, Out]."""
     *lead, kp2, n = q4.shape
     kp = 2 * kp2
-    p32 = q4.astype(jnp.int32) & 0xFF  # bytes as unsigned, pre-shift
+    p32 = q4.astype(jnp.int32)  # sign-extended widen (unpack_q4 contract)
     p32 = p32.reshape(*lead, kp // _BLK, _SUB, n)
     lo, hi = unpack_q4(p32)
     q = jnp.stack([lo, hi], axis=-3).reshape(*lead, kp // _GRP, _GRP, n)
