@@ -170,6 +170,18 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="write the transcript JSON (generated token ids + text + fingerprints) here",
     )
+    sp.add_argument(
+        "--fp-rtol",
+        type=float,
+        default=5e-3,
+        help="relative tolerance for fingerprint channels (token ids are always exact)",
+    )
+    sp.add_argument(
+        "--fp-atol",
+        type=float,
+        default=1e-4,
+        help="absolute tolerance for fingerprint channels",
+    )
 
     sp = sub.add_parser(
         "train", help="Fine-tune the LM trunk on a text dataset (AdamW + resume)"
@@ -626,23 +638,28 @@ def cmd_validate_hf(args) -> int:
         # speculative chunks round GEMMs at a different width.
         print("note: --lookup-decode is ignored for validate-hf", file=sys.stderr)
         args.lookup_decode = 0
-    """Golden-token harness for real-checkpoint bring-up (SURVEY.md §4).
+    """Golden-fingerprint harness for real-checkpoint bring-up (SURVEY.md §4).
 
-    With --emit: runs greedy OCR with the fingerprint channels forced on and
-    records a transcript (token ids, text, prompt math). With --expected:
-    re-runs and reports token-exact PASS/FAIL vs the recorded transcript,
-    with the first divergence position. Record the transcript once from a
-    known-good run of the HF reference (same image/prompt/flags); then
-    `validate-hf --expected transcript.json` is the one-command parity check.
+    With --emit: runs greedy OCR and records a transcript — generated token
+    ids + text PLUS every fingerprint the reference's debug hooks emit
+    (embedding slices at positions 0/1/last/289/545, step-0 top-10 logits;
+    runtime/validate.py). With --expected: re-runs and compares in causal
+    order (embeddings -> step-0 logits -> token ids), so the first FAIL
+    line names the earliest diverging stage. The golden transcript can come
+    from a prior --emit OR from the reference binary's stderr via
+    tools/transcript_from_debug_log.py (docs/VALIDATE_HF.md has the recipe).
     """
     import json
+
+    from .runtime.validate import collect_transcript, compare_transcripts
 
     # Force the HF-parity debug channels so fingerprints always print
     # (reference main.rs:1477-1523, 954-980).
     os.environ.setdefault("DEEPSEEK_DEBUG_OCR", "1")
 
     pipe, cfg = _load_ocr_pipeline(args)
-    result = pipe.generate_ocr(
+    transcript = collect_transcript(
+        pipe,
         args.image,
         prompt=args.prompt,
         max_new_tokens=args.max_new_tokens,
@@ -651,16 +668,7 @@ def cmd_validate_hf(args) -> int:
         auto_rotate=args.auto_rotate,
         ngram_size=args.no_repeat_ngram_size,
         eos_token_id=args.eos_token_id,
-        sampling=None,  # validation is strictly greedy
     )
-    transcript = {
-        "prompt_len": result.prompt_len,
-        "generated_ids": result.token_ids[result.prompt_len :],
-        "text": result.text,
-        "max_new_tokens": args.max_new_tokens,
-        "ngram_size": args.no_repeat_ngram_size,
-        "no_crop": bool(args.no_crop),
-    }
     if args.emit:
         with open(args.emit, "w") as f:
             json.dump(transcript, f, indent=1)
@@ -668,25 +676,18 @@ def cmd_validate_hf(args) -> int:
     if args.expected:
         with open(args.expected) as f:
             want = json.load(f)
-        want_ids = want["generated_ids"]
-        got_ids = transcript["generated_ids"]
-        n = min(len(want_ids), len(got_ids))
-        diverge = next((i for i in range(n) if want_ids[i] != got_ids[i]), None)
-        if diverge is None and len(want_ids) == len(got_ids):
-            print(f"PASS: token-exact ({len(got_ids)} tokens)")
-            return 0
-        if diverge is None:
-            diverge = n
-        print(
-            f"FAIL: diverges at generated position {diverge} "
-            f"(expected {want_ids[diverge] if diverge < len(want_ids) else '<end>'}, "
-            f"got {got_ids[diverge] if diverge < len(got_ids) else '<end>'}); "
-            f"lengths {len(want_ids)} vs {len(got_ids)}"
+        ok, lines = compare_transcripts(
+            transcript, want, rtol=args.fp_rtol, atol=args.fp_atol
         )
+        for line in lines:
+            print(line)
+        if ok:
+            print(f"PASS: token-exact ({len(transcript['generated_ids'])} tokens)")
+            return 0
         print("hint: re-run with DEEPSEEK_DEBUG_TOPK=1 for per-step top-10 logits")
         return 1
     if not args.emit:
-        print(result.text)
+        print(transcript["text"])
     return 0
 
 

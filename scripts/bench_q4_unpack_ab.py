@@ -76,22 +76,28 @@ def bench_all(tag):
 
 
 def check_correct():
-    """Kernel vs host-numpy dequant (no device lowering in the oracle)."""
+    """Kernel vs host-numpy dequant (no device lowering in the oracle).
+
+    Covers BOTH linear kernels: (1280, 512) takes the wide column-blocked
+    path, (1792, 128) the K-blocked tall-weight path (In >= 2*Out). The
+    MoE / fused-attn unpack paths are numerically pinned by the repo suite
+    (tests/test_moe_q4.py, test_attn_fused.py)."""
     rng = np.random.default_rng(3)
-    w = rng.standard_normal((1280, 512)).astype(np.float32) * 0.02
-    x = jnp.asarray(rng.standard_normal((2, 1280)) * 0.5, jnp.bfloat16)
-    q = quantize_linear_q4(jnp.asarray(w))
-    packed = np.asarray(q["q4"]).astype(np.int32)
-    lo = (packed << 28) >> 28
-    hi = (packed << 24) >> 28
-    vals = np.stack([lo.reshape(-1, 128, 512), hi.reshape(-1, 128, 512)], 1)
-    vals = vals.reshape(1280 // 128, 128, 512)
-    wd = (vals * np.asarray(q["scale"])[:, None, :]).reshape(1280, 512)
-    want = np.asarray(x, np.float32) @ wd
-    got = np.asarray(linear_q4(x, q, out_dtype=jnp.float32))
-    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
-    assert err < 2e-2, err
-    print(f"correctness vs host-numpy dequant: rel err {err:.2e} OK")
+    for k, n in [(1280, 512), (1792, 128)]:
+        w = rng.standard_normal((k, n)).astype(np.float32) * 0.02
+        x = jnp.asarray(rng.standard_normal((2, k)) * 0.5, jnp.bfloat16)
+        q = quantize_linear_q4(jnp.asarray(w))
+        packed = np.asarray(q["q4"]).astype(np.int32)
+        lo = (packed << 28) >> 28
+        hi = (packed << 24) >> 28
+        vals = np.stack([lo.reshape(-1, 128, n), hi.reshape(-1, 128, n)], 1)
+        vals = vals.reshape(k // 128, 128, n)
+        wd = (vals * np.asarray(q["scale"])[:, None, :]).reshape(k, n)
+        want = np.asarray(x, np.float32) @ wd
+        got = np.asarray(linear_q4(x, q, out_dtype=jnp.float32))
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < 2e-2, err
+        print(f"correctness vs host-numpy dequant ({k}x{n}): rel err {err:.2e} OK")
 
 
 def main():

@@ -120,3 +120,32 @@ def test_quantize_q4_grouped_leading_dims():
         np.testing.assert_allclose(
             back[e], np.asarray(dequantize_q4(qe, se, jnp.float32))
         )
+
+
+def test_unpack_q4_requires_sign_extended_widen():
+    """Pin the unpack_q4 input contract (ADVICE r3): the 3-shift unpack
+    assumes a SIGN-EXTENDED i32 widen of the packed bytes. A 0xFF-masked
+    widen (e.g. via a uint8 view) silently corrupts every negative high
+    nibble — assert the exact failure so a future caller can't regress it."""
+    from deepseek_ocr2_tpu.ops.linear_q4 import pack_q4, unpack_q4
+
+    # All 512 (lo, hi) nibble pairs on the int4 grid, one packed block.
+    lo_v = np.repeat(np.arange(-7, 8), 15)[:128]
+    hi_v = np.tile(np.arange(-7, 8), 15)[:128]
+    q = jnp.asarray(np.concatenate([lo_v, hi_v]), jnp.int32)[:, None]  # [256, 1]
+    packed = pack_q4(q)  # int8 [128, 1]
+
+    signed = packed.astype(jnp.int32)  # the contract
+    lo, hi = unpack_q4(signed)
+    np.testing.assert_array_equal(np.asarray(lo)[:, 0], lo_v)
+    np.testing.assert_array_equal(np.asarray(hi)[:, 0], hi_v)
+
+    masked = signed & 0xFF  # the forbidden widen
+    lo_m, hi_m = unpack_q4(masked)
+    # Low nibble survives (the shift pair discards bits 8..31)...
+    np.testing.assert_array_equal(np.asarray(lo_m), np.asarray(lo))
+    # ...but every negative high nibble reads wrong (off by +16).
+    neg = hi_v < 0
+    assert neg.any()
+    np.testing.assert_array_equal(np.asarray(hi_m)[neg, 0], hi_v[neg] + 16)
+    np.testing.assert_array_equal(np.asarray(hi_m)[~neg, 0], hi_v[~neg])

@@ -1,11 +1,22 @@
 """validate-hf emit/expected cycle, end-to-end through the real CLI.
 
-VERDICT r2 #6: the harness must be proven on synthetic weights before real
-weights arrive — a latent bug in the emit/validate cycle would burn the one
-bring-up shot. This drives the actual `python -m deepseek_ocr2_tpu.cli
-validate-hf` subprocess: emit a transcript, re-validate (PASS, rc 0), then
-perturb the lm_head and re-validate (FAIL, rc 1, with a divergence
-position). Mirrors reference main.rs:954-980, 1477-1523.
+VERDICT r2 #6 / r3 #5: the harness must be proven on synthetic weights
+before real weights arrive — a latent bug in the emit/validate cycle would
+burn the one bring-up shot. This drives the actual `python -m
+deepseek_ocr2_tpu.cli validate-hf` subprocess:
+
+- no-crop cycle: emit a transcript, re-validate (PASS, rc 0), then perturb
+  the lm_head and re-validate (FAIL, rc 1, with a divergence position AND
+  a step0_top10 FAIL naming the LM stage);
+- CROP cycle: same on a page that triggers dynamic tiling, with a
+  vision-side (projector) perturbation that must be caught by the
+  EMBEDDING fingerprints (the earliest stage), not just by token drift;
+- log-parser round trip: a validate-hf run with the reference debug
+  channels set (DEEPSEEK_DEBUG_OCR/TOPK/TOKENS) produces a stderr log in
+  the reference's eprintln format (main.rs:1501-1522, 1540-1555,
+  1601-1606); tools/transcript_from_debug_log.py must turn that log into
+  a transcript that validates PASS — proving a reference-binary run can
+  serve as the golden transcript with no shared harness.
 """
 
 import dataclasses
@@ -46,6 +57,18 @@ def assets(tmp_path_factory):
             )
     save_flat(flat_bad, str(d / "tiny_bad.safetensors"))
 
+    # Vision-side perturbation: projector noise shifts the injected image
+    # embeddings — the EMBEDDING fingerprints must catch it (stage
+    # localization), not just downstream token drift.
+    flat_badvis = dict(flat)
+    for name in flat_badvis:
+        if "projector" in name:
+            w = np.asarray(flat_badvis[name], np.float32)
+            flat_badvis[name] = (
+                w + 0.5 * rng.standard_normal(w.shape).astype(np.float32)
+            ).astype(w.dtype)
+    save_flat(flat_badvis, str(d / "tiny_badvis.safetensors"))
+
     from tokenizers import Tokenizer, models, pre_tokenizers
 
     tok = Tokenizer(
@@ -58,10 +81,13 @@ def assets(tmp_path_factory):
 
     img = rng.integers(0, 256, (120, 160, 3), np.uint8)
     Image.fromarray(img).save(d / "page.png")
+    # Big enough to trigger dynamic tiling (tiny crop_image_size = 192).
+    img_crop = rng.integers(0, 256, (300, 500, 3), np.uint8)
+    Image.fromarray(img_crop).save(d / "page_crop.png")
     return d
 
 
-def _validate_hf(assets, weights, extra):
+def _validate_hf(assets, weights, extra, image="page.png", crop=False, env_extra=None):
     cmd = [
         sys.executable,
         "-m",
@@ -74,15 +100,14 @@ def _validate_hf(assets, weights, extra):
         "--config",
         str(assets / "tiny_config.json"),
         "--image",
-        str(assets / "page.png"),
-        "--no-crop",
+        str(assets / image),
         "--max-new-tokens",
         "10",
         "--lm-dtype",
         "float32",
         "--vision-dtype",
         "float32",
-    ] + extra
+    ] + ([] if crop else ["--no-crop"]) + extra
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     # The emit/expected cycle is backend-independent; run the CLI
@@ -90,12 +115,13 @@ def _validate_hf(assets, weights, extra):
     # test doesn't pay three TPU remote compiles / device-claim waits.
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    env.update(env_extra or {})
     return subprocess.run(
         cmd,
         cwd=REPO,
         env=env,
         stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
+        stderr=subprocess.PIPE,
         text=True,
         timeout=900,
     )
@@ -104,14 +130,92 @@ def _validate_hf(assets, weights, extra):
 def test_emit_then_validate_pass_then_perturbed_fail(assets):
     transcript = assets / "transcript.json"
     proc = _validate_hf(assets, "tiny.safetensors", ["--emit", str(transcript)])
-    assert proc.returncode == 0, proc.stdout
+    assert proc.returncode == 0, proc.stdout + proc.stderr
     recorded = json.load(open(transcript))
     assert len(recorded["generated_ids"]) > 0
+    # v2 transcript: every reference fingerprint channel is recorded.
+    assert "first16" in recorded["inputs_embeds"]
+    assert "0" in recorded["inputs_embeds"]["positions"]
+    assert len(recorded["step0_top10"]["ids"]) == 10
 
     proc = _validate_hf(assets, "tiny.safetensors", ["--expected", str(transcript)])
-    assert proc.returncode == 0, proc.stdout
+    assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "PASS: token-exact" in proc.stdout, proc.stdout
 
     proc = _validate_hf(assets, "tiny_bad.safetensors", ["--expected", str(transcript)])
     assert proc.returncode == 1, proc.stdout
     assert "FAIL: diverges at generated position" in proc.stdout, proc.stdout
+    # lm_head perturbation: embeddings identical, step-0 logits flag the LM.
+    assert "FAIL step0_top10" in proc.stdout, proc.stdout
+    assert "FAIL inputs_embeds" not in proc.stdout, proc.stdout
+
+
+def test_crop_cycle_catches_vision_perturbation_at_embeddings(assets):
+    transcript = assets / "transcript_crop.json"
+    proc = _validate_hf(
+        assets, "tiny.safetensors", ["--emit", str(transcript)],
+        image="page_crop.png", crop=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    recorded = json.load(open(transcript))
+    assert recorded["crop_ratio"] != [1, 1], recorded["crop_ratio"]
+    # Crop prompt is long enough to carry the tiled-injection fingerprints.
+    assert recorded["inputs_embeds"]["seq_len"] > 16
+
+    proc = _validate_hf(
+        assets, "tiny.safetensors", ["--expected", str(transcript)],
+        image="page_crop.png", crop=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS: token-exact" in proc.stdout, proc.stdout
+
+    proc = _validate_hf(
+        assets, "tiny_badvis.safetensors", ["--expected", str(transcript)],
+        image="page_crop.png", crop=True,
+    )
+    assert proc.returncode == 1, proc.stdout
+    # Earliest-stage localization: the projector perturbation must be
+    # flagged at the embedding fingerprints.
+    assert "FAIL inputs_embeds" in proc.stdout, proc.stdout
+
+
+def test_reference_debug_log_parses_to_passing_transcript(assets):
+    """Reference-format stderr log -> transcript_from_debug_log -> PASS."""
+    proc = _validate_hf(
+        assets,
+        "tiny.safetensors",
+        [],
+        env_extra={
+            "DEEPSEEK_DEBUG_OCR": "1",
+            "DEEPSEEK_DEBUG_TOPK": "1",
+            "DEEPSEEK_DEBUG_TOKENS": "1",
+        },
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    log_path = assets / "debug_run.log"
+    log_path.write_text(proc.stderr)
+    # The log must contain the reference's exact line shapes.
+    assert "debug: inputs_embeds fingerprint=" in proc.stderr, proc.stderr
+    assert "debug: step0 top10 ids=" in proc.stderr, proc.stderr
+
+    parsed = assets / "transcript_from_log.json"
+    tool = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "transcript_from_debug_log.py"),
+            str(log_path),
+            "-o",
+            str(parsed),
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        timeout=120,
+    )
+    assert tool.returncode == 0, tool.stdout + tool.stderr
+    t = json.load(open(parsed))
+    assert "generated_ids" in t and "inputs_embeds" in t and "step0_top10" in t
+
+    proc = _validate_hf(assets, "tiny.safetensors", ["--expected", str(parsed)])
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS: token-exact" in proc.stdout, proc.stdout
