@@ -66,10 +66,19 @@ def _decode_hbm_bytes_per_token(lm, cfg, kv_len: int) -> float:
     return total
 
 
-def _measure_serve(params, cfg: OCR2Config) -> float:
-    """Continuous-engine pages/s on real PIL images (no-crop, 32 new tokens):
-    the only number here that pays for host preprocessing and the host-side
-    serving loop."""
+def _measure_serve(params, cfg: OCR2Config, crop: bool = False) -> float:
+    """Continuous-engine pages/s on real PIL images (32 new tokens): the
+    only numbers here that pay for host preprocessing, the raw-page ship
+    over the host->device link, and the host-side serving loop.
+
+    crop=False: 16x 960x1280 pages, no-crop (262-token prompts).
+    crop=True: 16x 2200x1700 pages -> 2x3 dynamic tiling (crop6, 1125-token
+    prompts, device-side Catmull-Rom resize from one raw ship/page). NOTE:
+    on the tunneled-TPU environment this number is dominated by the
+    tunnel's host->device bandwidth (~100 ms/call + 8-50 MB/s, 4x swings
+    between sessions — docs/DESIGN.md round-4a); on a real PCIe host the
+    same path is compute-bound.
+    """
     from PIL import Image
     from tokenizers import Tokenizer, models, pre_tokenizers
 
@@ -83,19 +92,21 @@ def _measure_serve(params, cfg: OCR2Config) -> float:
 
     rng = np.random.default_rng(7)
     n_pages = 16
+    shape = (2200, 1700, 3) if crop else (960, 1280, 3)
     pages = [
-        Image.fromarray(rng.integers(0, 256, (960, 1280, 3), np.uint8))
+        Image.fromarray(rng.integers(0, 256, shape, np.uint8))
         for _ in range(n_pages)
     ]
+    prompt_len = 1125 if crop else 262
     pipe = OCR2Pipeline(params, cfg, tok, kv_dtype="bfloat16")
     engine = ContinuousOCREngine(
-        pipe, slots=8, capacity=bucket_capacity(262 + MAX_NEW), chunk_steps=16
+        pipe, slots=8, capacity=bucket_capacity(prompt_len + MAX_NEW), chunk_steps=16
     )
 
     def run():
         return engine.run(
-            pages, prompt="<image> Free OCR.", max_new_tokens=MAX_NEW, no_crop=True,
-            ngram_size=NGRAM,
+            pages, prompt="<image> Free OCR.", max_new_tokens=MAX_NEW,
+            no_crop=not crop, ngram_size=NGRAM,
         )
 
     run()  # warmup/compile
@@ -352,6 +363,7 @@ def main() -> None:
     # paged decode, detokenization. The gap vs the synthetic number above is
     # the whole-system overhead.
     serve_pages_per_sec = _measure_serve(params, cfg)
+    serve_crop_pages_per_sec = _measure_serve(params, cfg, crop=True)
 
     target_per_chip = 20.0 / 8.0
     print(
@@ -375,6 +387,7 @@ def main() -> None:
                 "crop_pages_per_sec_int8": round(crop_pages_per_sec_q8, 3),
                 "crop6_pages_per_sec": round(crop6_pages_per_sec, 3),
                 "serve_pages_per_sec": round(serve_pages_per_sec, 3),
+                "serve_crop_pages_per_sec": round(serve_crop_pages_per_sec, 3),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -294,15 +294,22 @@ def device_preprocess_page(
     crop_size: int,
     crop_ratio: Optional[Tuple[int, int]],
     pad_color: int = 127,
+    dev: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Full OCR pixel front end on device from one raw-image ship.
 
     Returns (base [1,3,S,S] uint8, tiles [P,3,c,c] uint8 or None) — the same
     contract as preprocess_base_u8 / preprocess_tiles_u8, downstream
     normalize_pixels consumes either.
+
+    `dev`: optionally a pre-staged bucket-padded device buffer for this
+    image (from a BATCHED ship — the tunnel's device_put costs ~100 ms per
+    call on top of bandwidth, so the serve prefetcher stacks several pages
+    into one transfer and passes per-page slices here).
     """
     h, w = img_arr.shape[:2]
-    dev = ship_image(img_arr)
+    if dev is None:
+        dev = ship_image(img_arr)
     tiles = (
         device_tiles_u8(dev, w, h, crop_size, crop_ratio)
         if crop_ratio is not None

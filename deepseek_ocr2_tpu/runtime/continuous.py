@@ -658,6 +658,9 @@ class ContinuousOCREngine:
             dtype=jnp.dtype(pipe.kv_dtype),
         )
         alloc = PageAllocator(self.num_pages)
+        # Observability: benches/monitors poll pool occupancy while the
+        # serve loop runs (reads of n_free are atomic ints — no lock).
+        self.alloc = alloc
         block_tables_np = np.zeros((b, self.max_pages_per_slot), np.int32)
         tokens = jnp.zeros((b, tok_cap), jnp.int32)
         cur_lens = jnp.zeros((b,), jnp.int32)
@@ -814,41 +817,97 @@ class ContinuousOCREngine:
                 patches = jax.device_put(patches)
             return (base, patches, ratio, rot)
 
+        def _fail_request(req: OCRRequest, e: Exception):
+            # Fail THIS request and drop it; retrying forever would starve
+            # the main thread's in-flight wait (the worker can re-acquire
+            # the lock and re-claim the request before the waiter observes
+            # it free).
+            with cv:
+                pre_in_flight.discard(req)
+                if req in pending:
+                    pending.remove(req)
+                cv.notify_all()
+            req._finish(error=e)
+
         def _prefetch_worker():
+            """Preprocess upcoming pages ahead of admission. Device-resize
+            pages batch several raw ships into ONE device_put: the tunnel
+            charges ~100 ms per transfer call on top of (highly variable)
+            bandwidth, so per-page ships waste a dispatch fee per page.
+            While the engine is still cold (nothing admitted) the batch is
+            1 so the first admission isn't delayed behind neighbors'
+            transfer bytes."""
+            from ..preprocess.device_resize import bucket_pad
+
             while True:
                 with cv:
                     if serve_done:
                         return
-                    target = next(
-                        (
-                            r
-                            for r in pending[:pre_ahead]
-                            if r.pre is None and r not in pre_in_flight
-                        ),
-                        None,
-                    )
-                    if target is None:
+                    k = 1 if not slot_req else 4
+                    targets = [
+                        r
+                        for r in pending[:pre_ahead]
+                        if r.pre is None and r not in pre_in_flight
+                    ][:k]
+                    if not targets:
                         cv.wait(timeout=0.02)
                         continue
-                    pre_in_flight.add(target)
-                try:
-                    out = _preprocess(target)
-                except Exception as e:
-                    # Fail THIS request and drop it; retrying forever would
-                    # starve the main thread's in-flight wait (the worker can
-                    # re-acquire the lock and re-claim the request before the
-                    # waiter observes it free).
+                    pre_in_flight.update(targets)
+                staged = []
+                for t in targets:
+                    try:
+                        staged.append(
+                            (
+                                t,
+                                pipe.preprocess_host(
+                                    t.image,
+                                    no_crop=t.no_crop,
+                                    rotate=t.rotate,
+                                    auto_rotate=t.auto_rotate,
+                                ),
+                            )
+                        )
+                    except Exception as e:
+                        _fail_request(t, e)
+                # One transfer per bucket-shape group of raw device-path
+                # pages; host-path pages ship their (smaller) arrays solo.
+                groups: Dict[tuple, list] = {}
+                for t, pre in staged:
+                    if pre["mode"] == "device":
+                        padded = bucket_pad(np.ascontiguousarray(pre["arr"]))
+                        groups.setdefault(padded.shape, []).append((t, padded))
+                shipped: Dict[int, jax.Array] = {}
+                for shape, items in groups.items():
+                    try:
+                        if len(items) == 1:
+                            shipped[id(items[0][0])] = jax.device_put(items[0][1])
+                        else:
+                            batch = jax.device_put(
+                                np.stack([p for _, p in items])
+                            )
+                            for i, (t, _) in enumerate(items):
+                                shipped[id(t)] = batch[i]
+                    except Exception as e:
+                        failed = {id(t) for t, _ in items}
+                        for t, _ in items:
+                            _fail_request(t, e)
+                        staged = [(t, p) for t, p in staged if id(t) not in failed]
+                for t, pre in staged:
+                    try:
+                        base, patches, ratio, rot = pipe.preprocess_finish(
+                            pre, dev=shipped.get(id(t))
+                        )
+                        base = jax.device_put(base)
+                        if patches is not None:
+                            patches = jax.device_put(patches)
+                        out = (base, patches, ratio, rot)
+                    except Exception as e:
+                        _fail_request(t, e)
+                        continue
                     with cv:
-                        pre_in_flight.discard(target)
-                        if target in pending:
-                            pending.remove(target)
+                        t.pre = out
+                        pre_in_flight.discard(t)
                         cv.notify_all()
-                    target._finish(error=e)
-                    continue
-                with cv:
-                    target.pre = out
-                    pre_in_flight.discard(target)
-                    cv.notify_all()
 
         import threading
 
@@ -897,14 +956,59 @@ class ContinuousOCREngine:
         def admit_pending():
             """Admit pending pages into free slots in power-of-two batches
             grouped by (crop grid, prompt) — bounds vision-tower compile
-            variants."""
+            variants.
+
+            Cold-start fast path: when the decoder is idle (no active slots
+            — nothing for admission to overlap with), don't block on the
+            WHOLE head of the queue being preprocessed; as soon as at least
+            one page is ready, admit the ready subset. On a 1-core host
+            with big crop pages the page ship is ~300 ms each — waiting for
+            8 serializes ~2.4 s of transfers in front of the first vision
+            prefill, while partial admission overlaps the remaining
+            transfers with prefill compute. When decode is active the old
+            policy stands: full groups cost nothing extra (preprocess hides
+            under decode) and keep prefill batches big."""
             free = [s for s in range(b) if s not in slot_req]
             while free:
                 with cv:
                     take = list(pending[: len(free)])
                 if not take:
                     return
-                take = ensure_preprocessed(take)
+                if not slot_req:
+                    # Decoder idle: wait for the FIRST ready page, then give
+                    # the rest a short grace window (one admit-dispatch's
+                    # worth) before admitting the ready subset — pure
+                    # first-ready admission fragmented cheap-transfer
+                    # (no-crop) waves into g=1/2/4 dribbles, paying an
+                    # extra prefill dispatch per fragment for nothing.
+                    grace = 0.25
+                    t_first = None
+                    with cv:
+                        while True:
+                            take = list(pending[: len(free)])
+                            if not take:
+                                return
+                            ready = [r for r in take if r.pre is not None]
+                            in_flight = any(
+                                r in pre_in_flight or (r.pre is None and not r.done())
+                                for r in take
+                            )
+                            if ready and t_first is None:
+                                t_first = time.perf_counter()
+                            if ready and (
+                                not in_flight
+                                or time.perf_counter() - t_first >= grace
+                            ):
+                                break
+                            if not ready and not in_flight:
+                                break  # only failures left
+                            cv.wait(timeout=0.05)
+                    if ready:
+                        take = ready
+                    else:
+                        take = ensure_preprocessed(take)  # failures path
+                else:
+                    take = ensure_preprocessed(take)
                 if not take:
                     continue  # failures dropped; look again
                 # Group the head of the queue by (ratio, prompt).

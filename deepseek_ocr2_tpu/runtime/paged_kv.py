@@ -188,6 +188,72 @@ def write_prompt_pool_batched(
     }
 
 
+def _pool_write_rows(pool, vals, li, page_ids, off):
+    """Write one token per row into the pool via per-row dynamic_update_slice.
+
+    NOT a scatter: `pool.at[li, page_ids, :, off, :].set(...)` with traced
+    page indices defeats XLA's in-place carry aliasing and copies the whole
+    pool every decode step — measured 2.6 us/step per token of POOL capacity
+    per layer (scripts/bench_paged_write_ablate.py: 2.87 ms/layer-step at
+    cap 1280 vs 0.42 ms for this DUS chain, b=8). Rows map to distinct
+    slots' pages, so the sequential chain is order-independent (finished
+    slots all target the scratch page, whose content is never read).
+
+    vals: [B, Hh, D]; pool: [L, P, Hh, page, D].
+    """
+    zero = jnp.int32(0)
+    for r in range(vals.shape[0]):
+        pool = jax.lax.dynamic_update_slice(
+            pool,
+            vals[r].astype(pool.dtype)[None, None, :, None, :],
+            (li, page_ids[r], zero, off[r], zero),
+        )
+    return pool
+
+
+def _pool_write_rows_scale(spool, vals, li, page_ids, off):
+    """Per-row DUS for the int8 pool's scale planes (vals [B, Hh];
+    spool [L, P, Hh, page])."""
+    zero = jnp.int32(0)
+    for r in range(vals.shape[0]):
+        spool = jax.lax.dynamic_update_slice(
+            spool,
+            vals[r].astype(spool.dtype)[None, None, :, None],
+            (li, page_ids[r], zero, off[r]),
+        )
+    return spool
+
+
+def _pool_write_chunk(pool, vals, li, page_ids, off):
+    """Chunk-mode (S>1) per-(row, step) DUS writes; vals [B, S, Hh, D],
+    page_ids/off [B, S]. S is the (small, static) speculative chunk width;
+    consecutive tokens may cross a page boundary, so each writes its own
+    (page, offset)."""
+    zero = jnp.int32(0)
+    b, s = vals.shape[:2]
+    for r in range(b):
+        for j in range(s):
+            pool = jax.lax.dynamic_update_slice(
+                pool,
+                vals[r, j].astype(pool.dtype)[None, None, :, None, :],
+                (li, page_ids[r, j], zero, off[r, j], zero),
+            )
+    return pool
+
+
+def _pool_write_chunk_scale(spool, vals, li, page_ids, off):
+    zero = jnp.int32(0)
+    b, s = vals.shape[:2]
+    for r in range(b):
+        for j in range(s):
+            spool = jax.lax.dynamic_update_slice(
+                spool,
+                vals[r, j].astype(spool.dtype)[None, None, :, None],
+                (li, page_ids[r, j], zero, off[r, j]),
+            )
+    return spool
+
+
 def _paged_attention_step(
     xn: jnp.ndarray,  # [B, S, H] normed input (S==1 plain decode; S>1 chunk)
     attn,  # {"wq","wk","wv","wo"} bf16 or {"wqkv","wo"} q8
@@ -244,17 +310,13 @@ def _paged_attention_step(
         if quant:
             kq, ks = quantize_kv(k32[:, :, 0, :])  # [B, Hh, D] / [B, Hh]
             vq, vs = quantize_kv(v32[:, :, 0, :])
-            k_pool = k_pool.at[li, page_ids, :, off, :].set(kq)
-            v_pool = v_pool.at[li, page_ids, :, off, :].set(vq)
-            k_sc = cache["k_scale"].at[li, page_ids, :, off].set(ks)
-            v_sc = cache["v_scale"].at[li, page_ids, :, off].set(vs)
+            k_pool = _pool_write_rows(k_pool, kq, li, page_ids, off)
+            v_pool = _pool_write_rows(v_pool, vq, li, page_ids, off)
+            k_sc = _pool_write_rows_scale(cache["k_scale"], ks, li, page_ids, off)
+            v_sc = _pool_write_rows_scale(cache["v_scale"], vs, li, page_ids, off)
         else:
-            k_pool = k_pool.at[li, page_ids, :, off, :].set(
-                k32[:, :, 0, :].astype(k_pool.dtype)
-            )
-            v_pool = v_pool.at[li, page_ids, :, off, :].set(
-                v32[:, :, 0, :].astype(v_pool.dtype)
-            )
+            k_pool = _pool_write_rows(k_pool, k32[:, :, 0, :], li, page_ids, off)
+            v_pool = _pool_write_rows(v_pool, v32[:, :, 0, :], li, page_ids, off)
         q_dec = q32[:, :, 0, :]  # [B, Hh, D]
         if quant and run_pallas:
             ctx = paged_decode_attention_pool_q8(
@@ -289,20 +351,20 @@ def _paged_attention_step(
         seq_lens = posq + 1  # per-query causal budgets
         page_ids = block_tables[rows[:, None], posq // page]  # [B, S]
         off = posq % page
-        # [B, S] (page, offset) scatter; values ordered [B, S, Hh, D].
+        # [B, S] per-(row, step) DUS writes; values ordered [B, S, Hh, D].
         if quant:
             kq, ks = quantize_kv(k32.transpose(0, 2, 1, 3))  # [B,S,Hh,D]
             vq, vs = quantize_kv(v32.transpose(0, 2, 1, 3))
-            k_pool = k_pool.at[li, page_ids, :, off, :].set(kq)
-            v_pool = v_pool.at[li, page_ids, :, off, :].set(vq)
-            k_sc = cache["k_scale"].at[li, page_ids, :, off].set(ks)
-            v_sc = cache["v_scale"].at[li, page_ids, :, off].set(vs)
+            k_pool = _pool_write_chunk(k_pool, kq, li, page_ids, off)
+            v_pool = _pool_write_chunk(v_pool, vq, li, page_ids, off)
+            k_sc = _pool_write_chunk_scale(cache["k_scale"], ks, li, page_ids, off)
+            v_sc = _pool_write_chunk_scale(cache["v_scale"], vs, li, page_ids, off)
         else:
-            k_pool = k_pool.at[li, page_ids, :, off, :].set(
-                k32.transpose(0, 2, 1, 3).astype(k_pool.dtype)
+            k_pool = _pool_write_chunk(
+                k_pool, k32.transpose(0, 2, 1, 3), li, page_ids, off
             )
-            v_pool = v_pool.at[li, page_ids, :, off, :].set(
-                v32.transpose(0, 2, 1, 3).astype(v_pool.dtype)
+            v_pool = _pool_write_chunk(
+                v_pool, v32.transpose(0, 2, 1, 3), li, page_ids, off
             )
         q_chunk = q32.transpose(0, 2, 1, 3)  # [B, S, Hh, D]
         if quant and run_pallas:

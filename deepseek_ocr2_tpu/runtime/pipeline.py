@@ -117,21 +117,24 @@ class OCR2Pipeline:
 
     # -- OCR ----------------------------------------------------------------
 
-    def preprocess_image(
+    def preprocess_host(
         self,
         image: Union[str, Image.Image],
         no_crop: bool = False,
         rotate: Optional[int] = 0,
         auto_rotate: bool = False,
-    ) -> Tuple[np.ndarray, Optional[np.ndarray], Tuple[int, int], int]:
-        """Returns (image_base [1,3,S,S], patches [P,3,c,c] or None,
-        crop_ratio, rotate_used).
+    ) -> Dict[str, Any]:
+        """Host-only preprocessing phase: decode, rotate, tiling decision,
+        and (host path) the PIL resizes. Returns a dict consumed by
+        `preprocess_finish`:
 
-        Pixel arrays are uint8 (raw); every device prefill entry normalizes
-        them on device (models.deepseek_ocr2.normalize_pixels) bit-identically
-        to the host f32 path — shipping bytes instead of floats is 4x fewer
-        host->device bytes. The opt-in native C++ path still returns
-        host-normalized f32, which the same entries pass through unchanged.
+        - device path: {"mode": "device", "arr": HWC uint8 raw image, ...}
+          — the raw pixels still need shipping + the on-device Catmull-Rom
+          kernels; the serve prefetcher batches several pages into ONE
+          device_put (the tunnel charges ~100 ms per transfer call) before
+          calling preprocess_finish with the staged slice.
+        - host path: {"mode": "host", "base": ..., "patches": ...} — ready
+          arrays; finish just passes them through.
         """
         cfg = self.cfg
         img = Image.open(image).convert("RGB") if isinstance(image, str) else image.convert("RGB")
@@ -177,16 +180,13 @@ class OCR2Pipeline:
             # (3.38 vs 1.68 pages/s). "auto" = device iff cropping.
             device = cropping
         if device and not native:
-            from ..preprocess.device_resize import device_preprocess_page
-
-            image_base, patches = device_preprocess_page(
-                np.asarray(img),
-                cfg.base_image_size,
-                cfg.crop_image_size,
-                crop_ratio if cropping else None,
-                cfg.pad_color,
-            )
-            return image_base, patches, crop_ratio, rotate_used
+            return {
+                "mode": "device",
+                "arr": np.asarray(img),
+                "ratio": crop_ratio,
+                "cropping": cropping,
+                "rot": rotate_used,
+            }
 
         if cropping:
             patches = (
@@ -200,7 +200,55 @@ class OCR2Pipeline:
             if native
             else preprocess_base_u8(img, cfg.base_image_size, cfg.pad_color)
         )
-        return image_base, patches, crop_ratio, rotate_used
+        return {
+            "mode": "host",
+            "base": image_base,
+            "patches": patches,
+            "ratio": crop_ratio,
+            "rot": rotate_used,
+        }
+
+    def preprocess_finish(
+        self, pre: Dict[str, Any], dev=None
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], Tuple[int, int], int]:
+        """Device phase of preprocessing. `dev`: optional pre-staged
+        bucket-padded device buffer for the device path (batched ship)."""
+        cfg = self.cfg
+        if pre["mode"] == "device":
+            from ..preprocess.device_resize import device_preprocess_page
+
+            image_base, patches = device_preprocess_page(
+                pre["arr"],
+                cfg.base_image_size,
+                cfg.crop_image_size,
+                pre["ratio"] if pre["cropping"] else None,
+                cfg.pad_color,
+                dev=dev,
+            )
+            return image_base, patches, pre["ratio"], pre["rot"]
+        return pre["base"], pre["patches"], pre["ratio"], pre["rot"]
+
+    def preprocess_image(
+        self,
+        image: Union[str, Image.Image],
+        no_crop: bool = False,
+        rotate: Optional[int] = 0,
+        auto_rotate: bool = False,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray], Tuple[int, int], int]:
+        """Returns (image_base [1,3,S,S], patches [P,3,c,c] or None,
+        crop_ratio, rotate_used).
+
+        Pixel arrays are uint8 (raw); every device prefill entry normalizes
+        them on device (models.deepseek_ocr2.normalize_pixels) bit-identically
+        to the host f32 path — shipping bytes instead of floats is 4x fewer
+        host->device bytes. The opt-in native C++ path still returns
+        host-normalized f32, which the same entries pass through unchanged.
+        """
+        return self.preprocess_finish(
+            self.preprocess_host(
+                image, no_crop=no_crop, rotate=rotate, auto_rotate=auto_rotate
+            )
+        )
 
     def generate_ocr(
         self,
