@@ -78,7 +78,11 @@ def run_engine(params, cfg, pages, kv_dtype, pool_tokens, lookup=0, quant=None):
         pool_tokens=pool_tokens,
         lookup_chunk=lookup,
     )
-    engine.start(ngram_size=NGRAM)
+    # Warmup: compiles admission (g up to 8) + decode shapes.
+    engine.run(
+        pages[:8], prompt="<image> Free OCR.", max_new_tokens=64, ngram_size=NGRAM,
+        no_crop=True,
+    )
     occ = []
     stop_poll = threading.Event()
 
@@ -91,14 +95,12 @@ def run_engine(params, cfg, pages, kv_dtype, pool_tokens, lookup=0, quant=None):
     poller = threading.Thread(target=poll, daemon=True)
     poller.start()
     t0 = time.perf_counter()
-    reqs = [
-        engine.submit(img, prompt="<image> Free OCR.", max_new_tokens=MAX_NEW)
-        for img in pages
-    ]
-    results = [r.result(timeout=3600) for r in reqs]
+    results = engine.run(
+        pages, prompt="<image> Free OCR.", max_new_tokens=MAX_NEW,
+        ngram_size=NGRAM, no_crop=True,
+    )
     dt = time.perf_counter() - t0
     stop_poll.set()
-    engine.stop()
     toks = sum(r.new_tokens for r in results)
     return dict(
         wall_s=dt,

@@ -371,3 +371,51 @@ def test_paged_decode_step_int8_close_to_f32():
     a, bb = np.asarray(h_f32), np.asarray(h_q8)
     denom = np.abs(a).mean()
     assert np.abs(a - bb).mean() / denom < 0.05, np.abs(a - bb).mean() / denom
+
+
+def test_int8_pool_attention_drift_at_long_context():
+    """Quantify int8-KV attention drift at the sequence length the pool
+    exists for (2k context, BASELINE config #5) — the r3 docs asserted a
+    per-element bound but never measured the aggregate effect at length.
+
+    The context output over a 2048-token int8 pool must track the exact
+    f32 pool within ~1% relative error: per-vector absmax int8 has ~0.23%
+    RMS error per K/V element, softmax averaging over 2k keys keeps the
+    aggregate at the same order (errors are independent, not additive).
+    The end-to-end TOKEN divergence is measured on hardware by
+    scripts/bench_serve_long.py (greedy flips depend on logit margins,
+    which synthetic weights make pathologically tight)."""
+    from deepseek_ocr2_tpu.ops.paged_attention import (
+        dequant_pages,
+        paged_decode_attention_xla,
+    )
+    from deepseek_ocr2_tpu.runtime.paged_kv import quantize_kv
+
+    b, hh, d, page = 2, 4, 128, 128
+    seq = 2048
+    n_pool = b * (seq // page) + 1
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    q = jax.random.normal(ks[0], (b, hh, d), jnp.float32)
+    kf = jax.random.normal(ks[1], (n_pool, hh, page, d), jnp.float32)
+    vf = jax.random.normal(ks[2], (n_pool, hh, page, d), jnp.float32)
+    k_i8, k_sc = quantize_kv(kf)
+    v_i8, v_sc = quantize_kv(vf)
+    tables = jnp.asarray(
+        np.arange(1, n_pool).reshape(b, seq // page), jnp.int32
+    )
+    seq_lens = jnp.asarray([seq, seq - 37], jnp.int32)
+    want = paged_decode_attention_xla(
+        q, kf, vf, tables, seq_lens, scale=1 / math.sqrt(d)
+    )
+    got = paged_decode_attention_xla(
+        q,
+        dequant_pages(k_i8, k_sc),
+        dequant_pages(v_i8, v_sc),
+        tables,
+        seq_lens,
+        scale=1 / math.sqrt(d),
+    )
+    w = np.asarray(want)
+    g = np.asarray(got)
+    rel = np.abs(g - w).max() / (np.abs(w).max() + 1e-9)
+    assert rel < 1e-2, f"int8 pool drift {rel:.3%} at seq {seq}"
