@@ -143,6 +143,19 @@ def flat_from_params(
     return flat
 
 
+def _force_sdpa() -> bool:
+    """DEEPSEEK_QWEN2_SDPA=1 routes qwen2 attention to plain XLA sdpa.
+
+    r4 ablation (bench_qwen2_ablate, B=8 seq=288): sdpa ran the tower
+    18.4 -> 12.3 ms — the flash kernel's tiled grid underperforms XLA's
+    fused softmax at these short prefix-LM shapes (seq 288/512, d=64).
+    Gated off by default until re-validated in a clean-dispatch session
+    (the measuring session showed timing instability minutes later)."""
+    import os
+
+    return os.environ.get("DEEPSEEK_QWEN2_SDPA", "0") == "1"
+
+
 def _layer(
     x: jnp.ndarray, lp: Params, cfg: Qwen2Config, mask, cos, sin, n_prefix: int
 ) -> jnp.ndarray:
@@ -163,7 +176,7 @@ def _layer(
     k32 = repeat_kv(k32, cfg.gqa_groups)
     v32 = repeat_kv(v.astype(jnp.float32), cfg.gqa_groups)
 
-    if pallas_enabled() and s >= 256:
+    if pallas_enabled() and s >= 256 and not _force_sdpa():
         ctx = mha_pallas(
             q32,
             k32,

@@ -138,6 +138,86 @@ def _gmm_swiglu_kernel(vt_ref, ve_ref, lo_ref, hi_ref, li_ref, x_ref, g_ref, u_r
     o_ref[:] = jnp.where(in_rows, act, o_ref[:])
 
 
+def _gmm_ffn_kernel(
+    vt_ref, ve_ref, lo_ref, hi_ref, li_ref, x_ref, g_ref, u_ref, d_ref, o_ref, *, bm
+):
+    """Fused per-visit expert FFN: gate/up GEMMs + silu + down GEMM in one
+    kernel — the [M_pad, I] activation tile never round-trips HBM and the
+    visit schedule streams each expert's three weight matrices once in one
+    launch instead of two. Rounding points identical to the split
+    swiglu+down pair (act is rounded to the compute dtype in VMEM exactly
+    where the split path rounded it for the HBM write), so outputs are
+    bit-identical. VMEM: 3 x 2.3 MB weight blocks double-buffered ~14 MB —
+    fits the 16 MB scoped budget at the real shapes (H=1280, I=896)."""
+    del li_ref
+    v = pl.program_id(0)
+    row0 = vt_ref[v] * bm
+    ga = row0 + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    in_rows = (ga >= lo_ref[v]) & (ga < hi_ref[v])
+    x = x_ref[:]
+    gate = _dot(x, g_ref[0, 0]).astype(x.dtype)
+    up = _dot(x, u_ref[0, 0]).astype(x.dtype)
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    y = _dot(act, d_ref[0, 0]).astype(x.dtype)
+    o_ref[:] = jnp.where(in_rows, y, o_ref[:])
+
+
+def _gmm_ffn_call(
+    schedule, x, w_gate, w_up, w_down, *, bm, layer_idx=0, interpret=False
+):
+    vt, ve, lo, hi = schedule
+    m_pad, in_dim = x.shape
+    v_total = vt.shape[0]
+    w_gate, li = _as_stacked(w_gate, layer_idx)
+    w_up, _ = _as_stacked(w_up, layer_idx)
+    w_down, _ = _as_stacked(w_down, layer_idx)
+    i = w_gate.shape[3]
+    h = w_down.shape[3]
+
+    def wspec(inner, outer):
+        return pl.BlockSpec(
+            (1, 1, inner, outer),
+            lambda v, vt, ve, lo, hi, li: (li[0], ve[v], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(v_total,),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, in_dim),
+                lambda v, vt, ve, lo, hi, li: (vt[v], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            wspec(in_dim, i),
+            wspec(in_dim, i),
+            wspec(i, h),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, h),
+            lambda v, vt, ve, lo, hi, li: (vt[v], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm_ffn_kernel, bm=bm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, h), x.dtype),
+        interpret=interpret,
+    )(vt, ve, lo, hi, li, x, w_gate, w_up, w_down)
+
+
+def _gmm_fused_enabled() -> bool:
+    """DEEPSEEK_GMM_FUSED=1 runs the prefill grouped FFN as ONE fused
+    swiglu+down kernel per layer (bit-identical; saves the [M, I] act
+    HBM round-trip + one launch). Off by default until the VMEM fit and
+    the win are validated on hardware (r4)."""
+    import os
+
+    return os.environ.get("DEEPSEEK_GMM_FUSED", "0") == "1"
+
+
 def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, li_ref, a_ref, d_ref, o_ref, *, bm):
     del li_ref
     v = pl.program_id(0)
@@ -546,14 +626,20 @@ def _moe_ffn_gmm_impl(
     group_sizes = jnp.bincount(flat_idx, length=e).astype(jnp.int32)
 
     schedule = _visit_schedule(group_sizes, m_pad, bm)
-    act = _gmm_swiglu_call(
-        schedule, x_sorted, experts["gate"], experts["up"],
-        bm=bm, layer_idx=layer_idx, interpret=interpret,
-    )  # [M_pad, I]
-    y_sorted = _gmm_call(
-        _gmm_down_kernel, schedule, act, experts["down"], h,
-        bm=bm, layer_idx=layer_idx, interpret=interpret,
-    )[:m]  # [M, H]
+    if _gmm_fused_enabled():
+        y_sorted = _gmm_ffn_call(
+            schedule, x_sorted, experts["gate"], experts["up"], experts["down"],
+            bm=bm, layer_idx=layer_idx, interpret=interpret,
+        )[:m]  # [M, H]
+    else:
+        act = _gmm_swiglu_call(
+            schedule, x_sorted, experts["gate"], experts["up"],
+            bm=bm, layer_idx=layer_idx, interpret=interpret,
+        )  # [M_pad, I]
+        y_sorted = _gmm_call(
+            _gmm_down_kernel, schedule, act, experts["down"], h,
+            bm=bm, layer_idx=layer_idx, interpret=interpret,
+        )[:m]  # [M, H]
 
     inv = jnp.argsort(order, stable=True)
     y = jnp.take(y_sorted, inv, axis=0).reshape(n, k, h)

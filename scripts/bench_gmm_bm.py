@@ -46,23 +46,29 @@ def main():
         print(f"\nN={n} M={m}  (compute floor ~{ideal_ms:.2f} ms @80TF/s)")
         for bm in (32, 64, 128, 256):
             os.environ["DEEPSEEK_GMM_BM"] = str(bm)
+            for fused in (0, 1):
+                os.environ["DEEPSEEK_GMM_FUSED"] = str(fused)
 
-            def make_run(iters, bm=bm):
-                @jax.jit
-                def run(x, experts, w, idx):
-                    def body(c, _):
-                        y = moe_ffn_gmm(c, experts, w, idx)
-                        return c + y * jnp.bfloat16(1e-24), ()
+                def make_run(iters, bm=bm):
+                    @jax.jit
+                    def run(x, experts, w, idx):
+                        def body(c, _):
+                            y = moe_ffn_gmm(c, experts, w, idx)
+                            return c + y * jnp.bfloat16(1e-24), ()
 
-                    out, _ = jax.lax.scan(body, x, None, length=iters)
-                    return out
+                        out, _ = jax.lax.scan(body, x, None, length=iters)
+                        return out
 
-                return run
+                    return run
 
-            dt = time_chain(make_run, x, experts, w, idx)
-            over = 1 + E * bm / m
-            print(f"  bm={bm:4d}  {dt * 1e3:7.3f} ms  (static overcompute {over:.2f}x)")
+                dt = time_chain(make_run, x, experts, w, idx)
+                over = 1 + E * bm / m
+                print(
+                    f"  bm={bm:4d} fused={fused}  {dt * 1e3:7.3f} ms  "
+                    f"(static overcompute {over:.2f}x)"
+                )
         os.environ.pop("DEEPSEEK_GMM_BM", None)
+        os.environ.pop("DEEPSEEK_GMM_FUSED", None)
 
 
 if __name__ == "__main__":

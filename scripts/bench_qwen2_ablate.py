@@ -69,10 +69,14 @@ def layer_variant(x, lp, cfg, mask, cos, sin, n_prefix, *, attn=True, mlp=True,
 
 
 def main():
-    cfg = OCR2Config().qwen2
+    run_shape(OCR2Config().qwen2, crop=True)
+    run_shape(OCR2Config().qwen2, crop=False)
+
+
+def run_shape(cfg, crop: bool):
     key = jax.random.PRNGKey(0)
     params = q2.init_params(cfg, key, dtype=jnp.bfloat16)
-    n_query = cfg.n_query_768
+    n_query = cfg.n_query_768 if crop else cfg.n_query_1024
     seq = 2 * n_query
     x = jax.random.normal(key, (B, seq, cfg.hidden_size), jnp.bfloat16)
     mask = prefix_lm_mask(seq, n_query)[None, None]

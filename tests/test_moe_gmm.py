@@ -169,3 +169,30 @@ def test_gmm_backward_matches_ragged_vjp():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-6, rtol=3e-6
         )
+
+
+def test_gmm_fused_ffn_bit_identical_to_split(monkeypatch):
+    """DEEPSEEK_GMM_FUSED=1 (one swiglu+down kernel per layer) must be
+    BIT-identical to the split pair: the fused kernel rounds the act tile
+    to the compute dtype at exactly the point the split path rounded it
+    for the HBM write."""
+    rng = np.random.default_rng(9)
+    n, k, e, h, i = 200, 4, 12, 128, 256
+    x = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
+    experts = _experts(e, h, i)
+    router = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32) * 0.1)
+    weights, idx = route(x, router, k)
+
+    monkeypatch.delenv("DEEPSEEK_GMM_FUSED", raising=False)
+    want = np.asarray(moe_ffn_gmm(x, experts, weights, idx, interpret=True))
+    monkeypatch.setenv("DEEPSEEK_GMM_FUSED", "1")
+    got = np.asarray(moe_ffn_gmm(x, experts, weights, idx, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    # bf16 compute dtype too (the serving prefill dtype).
+    xb = x.astype(jnp.bfloat16)
+    eb = {kk: v.astype(jnp.bfloat16) for kk, v in experts.items()}
+    got_b = np.asarray(moe_ffn_gmm(xb, eb, weights, idx, interpret=True))
+    monkeypatch.delenv("DEEPSEEK_GMM_FUSED")
+    want_b = np.asarray(moe_ffn_gmm(xb, eb, weights, idx, interpret=True))
+    np.testing.assert_array_equal(got_b, want_b)
