@@ -175,22 +175,37 @@ def main():
             flush=True,
         )
 
+    # NOTE on cross-run comparisons: token-exactness holds only for
+    # identical admission grouping — the MoE prefill gmm sorts tokens
+    # ACROSS the admission group, so a different group composition (tight
+    # pool degrading to smaller power-of-two batches, partial cold-start
+    # admission) shifts GEMM tile boundaries and rounds differently.
+    # With synthetic random weights greedy margins are ~0, so any rounding
+    # difference flips tokens — report match fractions, not booleans.
+    # Within-engine determinism (preemption re-decode reproduces tokens)
+    # is pinned by tests/test_continuous.py.
     base = results["bf16-kv full-pool"]
     tight = results["bf16-kv tight-pool"]
-    firsts, _ = divergence(base["gen_ids"], tight["gen_ids"])
-    print(f"tight-pool vs full-pool tokens identical: {all(f == MAX_NEW for f in firsts)}")
+    firsts, frac = divergence(base["gen_ids"], tight["gen_ids"])
+    print(
+        f"tight-pool vs full-pool: mean matching prefix {frac:.1%} "
+        "(differs only via admission-group GEMM rounding; see NOTE)"
+    )
     if "int8-kv full-pool" in results:
         firsts, frac = divergence(base["gen_ids"], results["int8-kv full-pool"]["gen_ids"])
         print(
             f"int8-KV drift vs bf16 pool at {MAX_NEW} new tokens: first divergence "
             f"per page {firsts}, mean matching prefix {frac:.1%} (worst-case: "
-            "random-weight greedy margins)",
+            "random-weight greedy margins; real-checkpoint margins are far wider)",
             flush=True,
         )
     lk = results.get("bf16-kv full-pool lookup4")
     if lk is not None:
-        firsts, _ = divergence(base["gen_ids"], lk["gen_ids"])
-        print(f"lookup4 vs plain identical: {all(f == MAX_NEW for f in firsts)}")
+        firsts, frac = divergence(base["gen_ids"], lk["gen_ids"])
+        print(
+            f"lookup4 vs plain: mean matching prefix {frac:.1%} "
+            "(chunk-width GEMM rounding; see NOTE)"
+        )
 
 
 if __name__ == "__main__":
