@@ -144,16 +144,18 @@ def flat_from_params(
 
 
 def _force_sdpa() -> bool:
-    """DEEPSEEK_QWEN2_SDPA=1 routes qwen2 attention to plain XLA sdpa.
+    """Qwen2 attention runs plain XLA sdpa by DEFAULT; DEEPSEEK_QWEN2_SDPA=0
+    restores the flash kernel (ablation only).
 
-    r4 ablation (bench_qwen2_ablate, B=8 seq=288): sdpa ran the tower
-    18.4 -> 12.3 ms — the flash kernel's tiled grid underperforms XLA's
-    fused softmax at these short prefix-LM shapes (seq 288/512, d=64).
-    Gated off by default until re-validated in a clean-dispatch session
-    (the measuring session showed timing instability minutes later)."""
+    r4 ablation (bench_qwen2_ablate, B=8, two independent sessions): sdpa
+    runs the 24-layer tower 17.2-18.4 -> 12.0-12.3 ms at seq 288 (-30%)
+    and 25.3 -> 21.7 ms at seq 512 (-14%) — the flash kernel's tiled grid
+    underperforms XLA's fused softmax at these short prefix-LM shapes
+    (d=64, 288/512 keys fit VMEM without streaming). sdpa is also the
+    existing oracle/CPU path, so parity coverage is unchanged."""
     import os
 
-    return os.environ.get("DEEPSEEK_QWEN2_SDPA", "0") == "1"
+    return os.environ.get("DEEPSEEK_QWEN2_SDPA", "1") != "0"
 
 
 def _layer(

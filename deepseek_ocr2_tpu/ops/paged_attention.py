@@ -22,66 +22,84 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _flash_heads_step(
+    q_ref, k, v, m_ref, l_ref, acc_ref, seq_budget, k_pos, *, scale, n_heads
+):
+    """Shared per-page online-softmax update over ALL heads of one page.
+
+    k/v: [Hh, page, D] f32 (already dequantized); q_ref block [1, Hh, D];
+    scratch m/l [Hh, 1] SMEM, acc [Hh, D] VMEM. `seq_budget` is either a
+    scalar (1-query) broadcast over heads or handled by the caller (chunk).
+    Heads are a static python loop — one grid step DMAs the whole page
+    across heads (the old (b, heads, pages) grid paid the ~us per-grid-step
+    fixed cost 10x over, 8+ ms/step at 2k context; see docs/DESIGN.md
+    round-4c)."""
+    for h in range(n_heads):
+        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)  # [1, D]
+        s = jax.lax.dot_general(
+            q, k[h], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)  # [1, page]
+        s = jnp.where(k_pos < seq_budget, s, jnp.float32(NEG_INF))
+        m_old = m_ref[h, 0]
+        m_new = jnp.maximum(m_old, jnp.max(s))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)  # [1, page]
+        l_ref[h, 0] = alpha * l_ref[h, 0] + jnp.sum(p_ij)
+        acc_ref[h : h + 1, :] = acc_ref[h : h + 1, :] * alpha + jax.lax.dot_general(
+            p_ij, v[h], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[h, 0] = m_new
+
+
 def _paged_kernel(
     # scalar prefetch
     block_tables_ref,  # [B, max_pages] i32
     seq_lens_ref,  # [B] i32
     # inputs
-    q_ref,  # [1, Hh, D] (whole head dim; per-head row selected in kernel)
-    k_ref,  # [1, 1, page, D]
-    v_ref,  # [1, 1, page, D]
+    q_ref,  # [1, Hh, D]
+    k_ref,  # [1, Hh, page, D] (page selected via index_map)
+    v_ref,
     # outputs
     o_ref,  # [1, Hh, D]
     # scratch
-    m_ref,  # [1, 1] f32
-    l_ref,  # [1, 1] f32
-    acc_ref,  # [1, D] f32
+    m_ref,  # [Hh, 1] f32 SMEM
+    l_ref,  # [Hh, 1] f32 SMEM
+    acc_ref,  # [Hh, D] f32
     *,
     scale: float,
     page_size: int,
+    n_heads: int,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
 
     @pl.when(p == 0)
     def _():
-        m_ref[0, 0] = NEG_INF
-        l_ref[0, 0] = 0.0
+        for h in range(n_heads):
+            m_ref[h, 0] = NEG_INF
+            l_ref[h, 0] = 0.0
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     seq_len = seq_lens_ref[b]
 
     @pl.when(p * page_size < seq_len)
     def _():
-        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)  # [1, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [page, D]
-        v = v_ref[0, 0].astype(jnp.float32)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)  # [1, page]
-
+        k = k_ref[0].astype(jnp.float32)  # [Hh, page, D]
+        v = v_ref[0].astype(jnp.float32)
         k_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
         )
-        s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
-
-        m_old = m_ref[0, 0]
-        m_new = jnp.maximum(m_old, jnp.max(s))
-        alpha = jnp.exp(m_old - m_new)
-        p_ij = jnp.exp(s - m_new)  # [1, page]
-        l_ref[0, 0] = alpha * l_ref[0, 0] + jnp.sum(p_ij)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        _flash_heads_step(
+            q_ref, k, v, m_ref, l_ref, acc_ref, seq_len, k_pos,
+            scale=scale, n_heads=n_heads,
         )
-        m_ref[0, 0] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        denom = jnp.maximum(l_ref[0, 0], 1e-37)
-        o_ref[0, h] = (acc_ref[0] / denom).astype(o_ref.dtype)
+        for h in range(n_heads):
+            denom = jnp.maximum(l_ref[h, 0], 1e-37)
+            o_ref[0, h] = (acc_ref[h] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -101,32 +119,34 @@ def paged_decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hh, max_pages),
+        grid=(b, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, hh, d), lambda bi, hi, pi, bt, sl: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, hh, d), lambda bi, pi, bt, sl: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl: (bt[bi, pi], hi, 0, 0),
+                (1, hh, page_size, d),
+                lambda bi, pi, bt, sl: (bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl: (bt[bi, pi], hi, 0, 0),
+                (1, hh, page_size, d),
+                lambda bi, pi, bt, sl: (bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, hh, d), lambda bi, hi, pi, bt, sl: (bi, 0, 0), memory_space=pltpu.VMEM
+            (1, hh, d), lambda bi, pi, bt, sl: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.VMEM((hh, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_paged_kernel, scale=scale, page_size=page_size)
+    kernel = functools.partial(
+        _paged_kernel, scale=scale, page_size=page_size, n_heads=hh
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -142,58 +162,48 @@ def _paged_kernel_pool(
     layer_ref,  # [1] i32
     # inputs
     q_ref,  # [1, Hh, D]
-    k_ref,  # [1, 1, 1, page, D] (layer selected via index_map)
+    k_ref,  # [1, 1, Hh, page, D] (layer + page selected via index_map)
     v_ref,
     # outputs
     o_ref,  # [1, Hh, D]
     # scratch
-    m_ref,
-    l_ref,
-    acc_ref,
+    m_ref,  # [Hh, 1] f32 SMEM
+    l_ref,  # [Hh, 1] f32 SMEM
+    acc_ref,  # [Hh, D] f32
     *,
     scale: float,
     page_size: int,
+    n_heads: int,
 ):
     del layer_ref  # consumed by the index_map only
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
 
     @pl.when(p == 0)
     def _():
-        m_ref[0, 0] = NEG_INF
-        l_ref[0, 0] = 0.0
+        for h in range(n_heads):
+            m_ref[h, 0] = NEG_INF
+            l_ref[h, 0] = 0.0
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     seq_len = seq_lens_ref[b]
 
     @pl.when(p * page_size < seq_len)
     def _():
-        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
-        k = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
-        v = v_ref[0, 0, 0].astype(jnp.float32)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
+        k = k_ref[0, 0].astype(jnp.float32)  # [Hh, page, D]
+        v = v_ref[0, 0].astype(jnp.float32)
         k_pos = p * page_size + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
-        s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
-
-        m_old = m_ref[0, 0]
-        m_new = jnp.maximum(m_old, jnp.max(s))
-        alpha = jnp.exp(m_old - m_new)
-        p_ij = jnp.exp(s - m_new)
-        l_ref[0, 0] = alpha * l_ref[0, 0] + jnp.sum(p_ij)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        _flash_heads_step(
+            q_ref, k, v, m_ref, l_ref, acc_ref, seq_len, k_pos,
+            scale=scale, n_heads=n_heads,
         )
-        m_ref[0, 0] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        denom = jnp.maximum(l_ref[0, 0], 1e-37)
-        o_ref[0, h] = (acc_ref[0] / denom).astype(o_ref.dtype)
+        for h in range(n_heads):
+            denom = jnp.maximum(l_ref[h, 0], 1e-37)
+            o_ref[0, h] = (acc_ref[h] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention_pool(
@@ -220,32 +230,34 @@ def paged_decode_attention_pool(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, hh, max_pages),
+        grid=(b, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0), memory_space=pltpu.VMEM
+                (1, hh, d), lambda bi, pi, bt, sl, ly: (bi, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0), memory_space=pltpu.VMEM
+            (1, hh, d), lambda bi, pi, bt, sl, ly: (bi, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.VMEM((hh, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_paged_kernel_pool, scale=scale, page_size=page_size)
+    kernel = functools.partial(
+        _paged_kernel_pool, scale=scale, page_size=page_size, n_heads=hh
+    )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     return pl.pallas_call(
         kernel,
@@ -262,38 +274,64 @@ def paged_decode_attention_pool(
     )
 
 
+def _chunk_heads_step(
+    q_ref, k, v, m_ref, l_ref, acc_ref, budget, k_pos, *, scale, n_heads, n_queries
+):
+    """Per-page chunk-query update over all heads. q_ref block [1, Hh, S, D];
+    k/v [Hh, page, D] f32; scratch m/l [Hh*S, 1], acc [Hh*S, D] — head h's
+    rows are the static slice [h*S, (h+1)*S)."""
+    s_q = n_queries
+    for h in range(n_heads):
+        q = q_ref[0, h].astype(jnp.float32)  # [S, D]
+        s = jax.lax.dot_general(
+            q, k[h], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * jnp.float32(scale)  # [S, page]
+        s = jnp.where(k_pos < budget, s, jnp.float32(NEG_INF))
+        lo = h * s_q
+        m_old = m_ref[lo : lo + s_q, :]  # [S, 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p_ij = jnp.exp(s - m_new)  # [S, page]
+        l_ref[lo : lo + s_q, :] = alpha * l_ref[lo : lo + s_q, :] + jnp.sum(
+            p_ij, axis=1, keepdims=True
+        )
+        acc_ref[lo : lo + s_q, :] = acc_ref[lo : lo + s_q, :] * alpha + jax.lax.dot_general(
+            p_ij, v[h], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[lo : lo + s_q, :] = m_new
+
+
 def _paged_kernel_pool_chunk(
     # scalar prefetch
     block_tables_ref,  # [B, max_pages] i32
     seq_lens_ref,  # [B, S] i32 per-query valid-key counts
     layer_ref,  # [1] i32
     # inputs
-    q_ref,  # [1, 1, S, D] (row bi, head hi block; q pre-transposed to
-    #         [B, Hh, S, D] so the block's last two dims are fully taken —
-    #         Mosaic rejects blocks that slice the second-to-last dim to 1)
-    k_ref,  # [1, 1, 1, page, D] (layer + page selected via index_map)
+    q_ref,  # [1, Hh, S, D]
+    k_ref,  # [1, 1, Hh, page, D] (layer + page selected via index_map)
     v_ref,
     # outputs
-    o_ref,  # [1, 1, S, D]
+    o_ref,  # [1, Hh, S, D]
     # scratch
-    m_ref,  # [S, 1] f32 VMEM
-    l_ref,  # [S, 1] f32 VMEM
-    acc_ref,  # [S, D] f32 VMEM
+    m_ref,  # [Hh*S, 1] f32 VMEM
+    l_ref,  # [Hh*S, 1] f32 VMEM
+    acc_ref,  # [Hh*S, D] f32 VMEM
     *,
     scale: float,
     page_size: int,
     n_queries: int,
+    n_heads: int,
 ):
     """Chunk-query variant of _paged_kernel_pool (speculative verification).
 
-    All S queries of a (row, head) share the row's pages, so each grid step
-    runs ONE [S, page] score dot against the page instead of S separate
-    launches; per-query causal budgets arrive as seq_lens[b, i] (query i of
-    row b attends keys < seq_lens[b, i])."""
+    All S queries of a row share the row's pages, so each (row, page) grid
+    step runs ONE [S, page] score dot per head against the page; per-query
+    causal budgets arrive as seq_lens[b, i] (query i of row b attends keys
+    < seq_lens[b, i])."""
     del layer_ref  # consumed by the index_map only
     b = pl.program_id(0)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
 
     @pl.when(p == 0)
     def _():
@@ -309,36 +347,25 @@ def _paged_kernel_pool_chunk(
 
     @pl.when(p * page_size < max_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # [S, D]
-        k = k_ref[0, 0, 0].astype(jnp.float32)  # [page, D]
-        v = v_ref[0, 0, 0].astype(jnp.float32)
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)  # [S, page]
-
+        k = k_ref[0, 0].astype(jnp.float32)  # [Hh, page, D]
+        v = v_ref[0, 0].astype(jnp.float32)
         budget = jnp.concatenate(
             [seq_lens_ref[b, i].reshape(1, 1) for i in range(n_queries)], axis=0
         )  # [S, 1]
         k_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
         )  # [1, page]
-        s = jnp.where(k_pos < budget, s, jnp.float32(NEG_INF))
-
-        m_old = m_ref[:]  # [S, 1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p_ij = jnp.exp(s - m_new)  # [S, page]
-        l_ref[:] = alpha * l_ref[:] + jnp.sum(p_ij, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        _chunk_heads_step(
+            q_ref, k, v, m_ref, l_ref, acc_ref, budget, k_pos,
+            scale=scale, n_heads=n_heads, n_queries=n_queries,
         )
-        m_ref[:] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        denom = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        for h in range(n_heads):
+            lo = h * n_queries
+            denom = jnp.maximum(l_ref[lo : lo + n_queries, :], 1e-37)
+            o_ref[0, h] = (acc_ref[lo : lo + n_queries, :] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention_pool_chunk(
@@ -366,37 +393,41 @@ def paged_decode_attention_pool_chunk(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, hh, max_pages),
+        grid=(b, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, s_q, d),
-                lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
+                (1, hh, s_q, d),
+                lambda bi, pi, bt, sl, ly: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, s_q, d),
-            lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
+            (1, hh, s_q, d),
+            lambda bi, pi, bt, sl, ly: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((s_q, 1), jnp.float32),
-            pltpu.VMEM((s_q, 1), jnp.float32),
-            pltpu.VMEM((s_q, d), jnp.float32),
+            pltpu.VMEM((hh * s_q, 1), jnp.float32),
+            pltpu.VMEM((hh * s_q, 1), jnp.float32),
+            pltpu.VMEM((hh * s_q, d), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _paged_kernel_pool_chunk, scale=scale, page_size=page_size, n_queries=s_q
+        _paged_kernel_pool_chunk,
+        scale=scale,
+        page_size=page_size,
+        n_queries=s_q,
+        n_heads=hh,
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     out = pl.pallas_call(
@@ -623,46 +654,47 @@ def _paged_kernel_pool_q8(
     streaming-softmax walk at HALF the HBM bytes per page."""
     del layer_ref
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+    n_heads = q_ref.shape[1]
 
     @pl.when(p == 0)
     def _():
-        m_ref[0, 0] = NEG_INF
-        l_ref[0, 0] = 0.0
+        for h in range(n_heads):
+            m_ref[h, 0] = NEG_INF
+            l_ref[h, 0] = 0.0
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     seq_len = seq_lens_ref[b]
 
     @pl.when(p * page_size < seq_len)
     def _():
-        q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
-        ks = ks_ref[0, 0, 0, 0].reshape(-1, 1)  # [page, 1] f32
-        vs = vs_ref[0, 0, 0, 0].reshape(-1, 1)
-        k = k_ref[0, 0, 0].astype(jnp.float32) * ks  # [page, D]
-        v = v_ref[0, 0, 0].astype(jnp.float32) * vs
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
         k_pos = p * page_size + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
-        s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
-
-        m_old = m_ref[0, 0]
-        m_new = jnp.maximum(m_old, jnp.max(s))
-        alpha = jnp.exp(m_old - m_new)
-        p_ij = jnp.exp(s - m_new)
-        l_ref[0, 0] = alpha * l_ref[0, 0] + jnp.sum(p_ij)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_ref[0, 0] = m_new
+        for h in range(n_heads):
+            q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
+            ks = ks_ref[0, 0, h].reshape(-1, 1)  # [page, 1] f32
+            vs = vs_ref[0, 0, h].reshape(-1, 1)
+            k = k_ref[0, 0, h].astype(jnp.float32) * ks  # [page, D]
+            v = v_ref[0, 0, h].astype(jnp.float32) * vs
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)
+            s = jnp.where(k_pos < seq_len, s, jnp.float32(NEG_INF))
+            m_old = m_ref[h, 0]
+            m_new = jnp.maximum(m_old, jnp.max(s))
+            alpha = jnp.exp(m_old - m_new)
+            p_ij = jnp.exp(s - m_new)
+            l_ref[h, 0] = alpha * l_ref[h, 0] + jnp.sum(p_ij)
+            acc_ref[h : h + 1, :] = acc_ref[h : h + 1, :] * alpha + jax.lax.dot_general(
+                p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_ref[h, 0] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        denom = jnp.maximum(l_ref[0, 0], 1e-37)
-        o_ref[0, h] = (acc_ref[0] / denom).astype(o_ref.dtype)
+        for h in range(n_heads):
+            denom = jnp.maximum(l_ref[h, 0], 1e-37)
+            o_ref[0, h] = (acc_ref[h] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention_pool_q8(
@@ -691,40 +723,40 @@ def paged_decode_attention_pool_q8(
 
     def scale_spec():
         return pl.BlockSpec(
-            (1, 1, 1, 1, page_size),
-            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+            (1, 1, hh, 1, page_size),
+            lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, hh, max_pages),
+        grid=(b, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0),
+                (1, hh, d), lambda bi, pi, bt, sl, ly: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scale_spec(),
             scale_spec(),
         ],
         out_specs=pl.BlockSpec(
-            (1, hh, d), lambda bi, hi, pi, bt, sl, ly: (bi, 0, 0),
+            (1, hh, d), lambda bi, pi, bt, sl, ly: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.SMEM((hh, 1), jnp.float32),
+            pltpu.VMEM((hh, d), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -752,26 +784,27 @@ def _paged_kernel_pool_chunk_q8(
     block_tables_ref,
     seq_lens_ref,  # [B, S] i32 per-query budgets
     layer_ref,
-    q_ref,  # [1, 1, S, D] (q pre-transposed to [B, Hh, S, D] — see
-    #         _paged_kernel_pool_chunk's block-tiling note)
-    k_ref,  # [1, 1, 1, page, D] int8
+    q_ref,  # [1, Hh, S, D]
+    k_ref,  # [1, 1, Hh, page, D] int8
     v_ref,
-    ks_ref,  # [1, 1, 1, 1, page] f32 (5D — see _paged_kernel_pool_q8)
+    ks_ref,  # [1, 1, Hh, 1, page] f32 (5D — see _paged_kernel_pool_q8)
     vs_ref,
-    o_ref,  # [1, 1, S, D]
-    m_ref,  # [S, 1] f32 VMEM
+    o_ref,  # [1, Hh, S, D]
+    m_ref,  # [Hh*S, 1] f32 VMEM
     l_ref,
-    acc_ref,  # [S, D]
+    acc_ref,  # [Hh*S, D]
     *,
     scale: float,
     page_size: int,
     n_queries: int,
+    n_heads: int,
 ):
     """int8-KV variant of _paged_kernel_pool_chunk (speculative chunks)."""
     del layer_ref
     b = pl.program_id(0)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+    s_q = n_queries
 
     @pl.when(p == 0)
     def _():
@@ -785,38 +818,43 @@ def _paged_kernel_pool_chunk_q8(
 
     @pl.when(p * page_size < max_len)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # [S, D]
-        ks = ks_ref[0, 0, 0, 0].reshape(-1, 1)
-        vs = vs_ref[0, 0, 0, 0].reshape(-1, 1)
-        k = k_ref[0, 0, 0].astype(jnp.float32) * ks
-        v = v_ref[0, 0, 0].astype(jnp.float32) * vs
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
-
         budget = jnp.concatenate(
             [seq_lens_ref[b, i].reshape(1, 1) for i in range(n_queries)], axis=0
         )
         k_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
         )
-        s = jnp.where(k_pos < budget, s, jnp.float32(NEG_INF))
-
-        m_old = m_ref[:]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p_ij = jnp.exp(s - m_new)
-        l_ref[:] = alpha * l_ref[:] + jnp.sum(p_ij, axis=1, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_ref[:] = m_new
+        for h in range(n_heads):
+            q = q_ref[0, h].astype(jnp.float32)  # [S, D]
+            ks = ks_ref[0, 0, h].reshape(-1, 1)
+            vs = vs_ref[0, 0, h].reshape(-1, 1)
+            k = k_ref[0, 0, h].astype(jnp.float32) * ks
+            v = v_ref[0, 0, h].astype(jnp.float32) * vs
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * jnp.float32(scale)
+            s = jnp.where(k_pos < budget, s, jnp.float32(NEG_INF))
+            lo = h * s_q
+            m_old = m_ref[lo : lo + s_q, :]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p_ij = jnp.exp(s - m_new)
+            l_ref[lo : lo + s_q, :] = alpha * l_ref[lo : lo + s_q, :] + jnp.sum(
+                p_ij, axis=1, keepdims=True
+            )
+            acc_ref[lo : lo + s_q, :] = acc_ref[
+                lo : lo + s_q, :
+            ] * alpha + jax.lax.dot_general(
+                p_ij, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_ref[lo : lo + s_q, :] = m_new
 
     @pl.when(p == n_pages - 1)
     def _():
-        denom = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        for h in range(n_heads):
+            lo = h * s_q
+            denom = jnp.maximum(l_ref[lo : lo + s_q, :], 1e-37)
+            o_ref[0, h] = (acc_ref[lo : lo + s_q, :] / denom).astype(o_ref.dtype)
 
 
 def paged_decode_attention_pool_chunk_q8(
@@ -842,42 +880,42 @@ def paged_decode_attention_pool_chunk_q8(
 
     def scale_spec():
         return pl.BlockSpec(
-            (1, 1, 1, 1, page_size),
-            lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+            (1, 1, hh, 1, page_size),
+            lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, hh, max_pages),
+        grid=(b, max_pages),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, s_q, d),
-                lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
+                (1, hh, s_q, d),
+                lambda bi, pi, bt, sl, ly: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, page_size, d),
-                lambda bi, hi, pi, bt, sl, ly: (ly[0], bt[bi, pi], hi, 0, 0),
+                (1, 1, hh, page_size, d),
+                lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scale_spec(),
             scale_spec(),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, s_q, d),
-            lambda bi, hi, pi, bt, sl, ly: (bi, hi, 0, 0),
+            (1, hh, s_q, d),
+            lambda bi, pi, bt, sl, ly: (bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((s_q, 1), jnp.float32),
-            pltpu.VMEM((s_q, 1), jnp.float32),
-            pltpu.VMEM((s_q, d), jnp.float32),
+            pltpu.VMEM((hh * s_q, 1), jnp.float32),
+            pltpu.VMEM((hh * s_q, 1), jnp.float32),
+            pltpu.VMEM((hh * s_q, d), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -885,6 +923,7 @@ def paged_decode_attention_pool_chunk_q8(
         scale=scale,
         page_size=page_size,
         n_queries=s_q,
+        n_heads=hh,
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     out = pl.pallas_call(

@@ -90,8 +90,8 @@ def bench(cfg, params, cap, mode):
                 lambda xn, attn, cfg2, kv, li, bt, pos, cos_b, sin_b, rp: (xn, kv)
             )
 
-        @functools.partial(jax.jit, static_argnames="n", donate_argnums=(0, 1))
-        def loop(cache, tokens, n):
+        @functools.partial(jax.jit, static_argnames="n", donate_argnums=(1, 2))
+        def loop(params, cache, tokens, n):
             rows = jnp.arange(B)
             cur0 = jnp.full((B,), prompt, jnp.int32)
 
@@ -114,11 +114,17 @@ def bench(cfg, params, cap, mode):
             (cache, tokens, cur), _ = jax.lax.scan(
                 step, (cache, tokens, cur0), None, length=n
             )
-            return tokens
+            # Touch the cache so the KV writes can't be dead-code-eliminated
+            # (tokens alone would leave the final carry unused).
+            probe = sum(
+                jnp.sum(v[:, :1, :1, :1].astype(jnp.float32))
+                for v in cache.values()
+            )
+            return tokens, probe
 
         per = diff_time(
             lambda n: loop(
-                {k: jnp.copy(v) for k, v in cache.items()}, jnp.copy(tokens0), n
+                params, {k: jnp.copy(v) for k, v in cache.items()}, jnp.copy(tokens0), n
             )
         )
         print(f"cap={cap:5d} {mode:9s}: {per * 1e3:8.2f} ms/step", flush=True)
