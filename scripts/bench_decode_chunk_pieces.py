@@ -37,7 +37,7 @@ from deepseek_ocr2_tpu.runtime.paged_kv import make_paged_kv_cache, pages_for
 from deepseek_ocr2_tpu.ops.sampling import greedy_pick, ngram_ban_mask
 
 B = 8
-PAGE = 128
+PAGE = int(os.environ.get("DEEPSEEK_BENCH_PAGE", "128"))
 VOCAB = 129_280
 
 

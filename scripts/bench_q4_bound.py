@@ -91,7 +91,8 @@ def bench_moe(tag):
     wts = jnp.asarray(rng.random((B, k)), jnp.float32)
     x = jnp.asarray(rng.standard_normal((B, h)) * 0.5, jnp.bfloat16)
     t = time_chain(
-        chain(lambda x: mq4.moe_ffn_decode_q4(x, q4, wts, idx, with_shared=True)), x
+        chain(lambda x: mq4.moe_ffn_decode_q4(x, q4, wts, idx, with_shared=True)), x,
+        iters_lo=64, iters_hi=512, reps=7,
     )
     print(f"moe    b=1 {tag:8s}: {t * 1e6:8.1f} us", flush=True)
 
@@ -102,7 +103,7 @@ def bench_lm(tag):
         jnp.asarray(rng.standard_normal((1280, 129280)) * 0.02, jnp.float32)
     )
     x = jnp.asarray(rng.standard_normal((B, 1280)) * 0.5, jnp.bfloat16)
-    t = time_chain(chain(lambda x: lq4.linear_q4(x, q_lm)), x)
+    t = time_chain(chain(lambda x: lq4.linear_q4(x, q_lm)), x, iters_lo=64, iters_hi=512, reps=7)
     print(f"lmhead b=1 {tag:8s}: {t * 1e6:8.1f} us", flush=True)
 
 
@@ -135,7 +136,7 @@ def bench_attn(tag):
         # Fold the K/V outputs in so they aren't dead code; keep [B, H] shape.
         return out + (jnp.sum(kn) + jnp.sum(vn)).astype(out.dtype) * out.dtype.type(1e-9)
 
-    t = time_chain(chain(one), xn)
+    t = time_chain(chain(one), xn, iters_lo=64, iters_hi=512, reps=7)
     print(f"attn   b=1 {tag:8s}: {t * 1e6:8.1f} us/layer", flush=True)
 
 
