@@ -17,7 +17,7 @@ from deepseek_ocr2_tpu.configs import OCR2Config
 from deepseek_ocr2_tpu.models import sam as sam_mod
 from deepseek_ocr2_tpu.ops.norms import layer_norm_2d
 
-ITERS_LO, ITERS_HI = 8, 40
+ITERS_LO, ITERS_HI = int(os.environ.get("SAM_BENCH_LO", "8")), int(os.environ.get("SAM_BENCH_HI", "40"))
 B = 4
 
 
