@@ -115,6 +115,48 @@ def _measure_serve(params, cfg: OCR2Config, crop: bool = False) -> float:
     return n_pages / (time.perf_counter() - t0)
 
 
+def _measure_serve_long(params, cfg: OCR2Config) -> float:
+    """Long-output continuous serving (BASELINE config #5 in miniature):
+    8 no-crop pages x 1024 new tokens through the paged engine, aggregate
+    decode tok/s. The full sweep (2048 tokens, int8-KV, lookup, tight
+    pool) lives in scripts/bench_serve_long.py."""
+    import dataclasses
+
+    from PIL import Image
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    from deepseek_ocr2_tpu.runtime.continuous import ContinuousOCREngine
+    from deepseek_ocr2_tpu.runtime.pipeline import OCR2Pipeline
+
+    cfg_l = dataclasses.replace(cfg, eos_token_id=-1)  # full-budget decode
+    tok = Tokenizer(
+        models.WordLevel({"<unk>": 2, "Free": 10, "OCR.": 11}, unk_token="<unk>")
+    )
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    rng = np.random.default_rng(9)
+    pages = [
+        Image.fromarray(rng.integers(0, 256, (960, 1280, 3), np.uint8))
+        for _ in range(8)
+    ]
+    max_new = 1024
+    pipe = OCR2Pipeline(params, cfg_l, tok, kv_dtype="bfloat16")
+    engine = ContinuousOCREngine(
+        pipe, slots=8, capacity=bucket_capacity(262 + max_new), chunk_steps=64
+    )
+
+    def run():
+        return engine.run(
+            pages, prompt="<image> Free OCR.", max_new_tokens=max_new,
+            no_crop=True, ngram_size=NGRAM,
+        )
+
+    run()  # warmup/compile
+    t0 = time.perf_counter()
+    results = run()
+    dt = time.perf_counter() - t0
+    return sum(r.new_tokens for r in results) / dt
+
+
 def build_prompt(cfg: OCR2Config):
     n_img = cfg.image_token_count((1, 1))  # no-crop: 257
     ids = [cfg.bos_token_id] + [cfg.image_token_id] * n_img + [185, 14689, 6192, 13]
@@ -364,6 +406,7 @@ def main() -> None:
     # the whole-system overhead.
     serve_pages_per_sec = _measure_serve(params, cfg)
     serve_crop_pages_per_sec = _measure_serve(params, cfg, crop=True)
+    serve_long_tok_per_sec = _measure_serve_long(params, cfg)
 
     target_per_chip = 20.0 / 8.0
     print(
@@ -388,6 +431,7 @@ def main() -> None:
                 "crop6_pages_per_sec": round(crop6_pages_per_sec, 3),
                 "serve_pages_per_sec": round(serve_pages_per_sec, 3),
                 "serve_crop_pages_per_sec": round(serve_crop_pages_per_sec, 3),
+                "serve_long_tok_per_sec": round(serve_long_tok_per_sec, 1),
                 "device": str(jax.devices()[0]),
             }
         )
