@@ -66,7 +66,7 @@ def _decode_hbm_bytes_per_token(lm, cfg, kv_len: int) -> float:
     return total
 
 
-def _measure_serve(params, cfg: OCR2Config, crop: bool = False) -> float:
+def _measure_serve(params, cfg: OCR2Config, crop: bool = False, staged: bool = False) -> float:
     """Continuous-engine pages/s on real PIL images (32 new tokens): the
     only numbers here that pay for host preprocessing, the raw-page ship
     over the host->device link, and the host-side serving loop.
@@ -102,6 +102,22 @@ def _measure_serve(params, cfg: OCR2Config, crop: bool = False) -> float:
     engine = ContinuousOCREngine(
         pipe, slots=8, capacity=bucket_capacity(prompt_len + MAX_NEW), chunk_steps=16
     )
+
+    if staged:
+        # VERDICT r4 #3: pre-stage all pages' device arrays, THEN clock the
+        # engine e2e — proves what the serving engine itself clears once the
+        # tunnel's host->device pixel ship is out of the loop.
+        def run():
+            reqs = engine.prestage(
+                pages, prompt="<image> Free OCR.", max_new_tokens=MAX_NEW,
+                no_crop=not crop,
+            )
+            t0 = time.perf_counter()
+            engine.run_requests(reqs, ngram_size=NGRAM)
+            return time.perf_counter() - t0
+
+        run()  # warmup/compile
+        return n_pages / run()
 
     def run():
         return engine.run(
@@ -406,6 +422,7 @@ def main() -> None:
     # the whole-system overhead.
     serve_pages_per_sec = _measure_serve(params, cfg)
     serve_crop_pages_per_sec = _measure_serve(params, cfg, crop=True)
+    serve_crop_staged_pages_per_sec = _measure_serve(params, cfg, crop=True, staged=True)
     serve_long_tok_per_sec = _measure_serve_long(params, cfg)
 
     target_per_chip = 20.0 / 8.0
@@ -431,6 +448,7 @@ def main() -> None:
                 "crop6_pages_per_sec": round(crop6_pages_per_sec, 3),
                 "serve_pages_per_sec": round(serve_pages_per_sec, 3),
                 "serve_crop_pages_per_sec": round(serve_crop_pages_per_sec, 3),
+                "serve_crop_staged_pages_per_sec": round(serve_crop_staged_pages_per_sec, 3),
                 "serve_long_tok_per_sec": round(serve_long_tok_per_sec, 1),
                 "device": str(jax.devices()[0]),
             }

@@ -48,11 +48,18 @@ _GRP = 128  # input rows per scale group (one group per slab half)
 
 def pack_q4(q: jnp.ndarray) -> jnp.ndarray:
     """int32 levels [-7,7], [Kp, ...] with Kp % 256 == 0 -> packed int8
-    [Kp/2, ...] in block-local split-half order."""
+    [Kp/2, ...] in block-local split-half OFFSET-LO order: the low nibble
+    stores lo+8 (offset-binary), the high nibble stores hi (two's
+    complement). With a sign-extended i8 view v this gives the identity
+        v == 16*hi + (lo + 8)
+    exactly, which lets the kernels recover BOTH halves from two MXU dots
+    on v and (v >> 4) with no low-nibble shift pair — 4 VPU ops per packed
+    byte instead of 6 (the unpack is the VPU wall of the int4 decode step,
+    docs/DESIGN.md round-5 ledger)."""
     kp = q.shape[0]
     rest = q.shape[1:]
     qb = q.reshape(kp // _BLK, 2, _SUB, *rest)
-    lo, hi = qb[:, 0], qb[:, 1]
+    lo, hi = qb[:, 0] + 8, qb[:, 1]
     packed = (lo & 0xF) | ((hi & 0xF) << 4)  # 0..255 in int32
     packed = jax.lax.bitcast_convert_type(packed.astype(jnp.uint8), jnp.int8)
     return packed.reshape(kp // 2, *rest)
@@ -62,13 +69,11 @@ def unpack_q4(packed_i32: jnp.ndarray):
     """SIGN-EXTENDED i32 view of packed bytes (i.e. `packed_i8.astype(i32)`,
     NOT `& 0xFF`-masked) -> (lo, hi) int4 values in i32.
 
-    The widen sign-extends the byte, so bit 7 (the high nibble's sign bit)
-    already fills bits 8..31 — one arithmetic shift recovers the high
-    nibble. The low nibble still needs the shift pair. 3 vector shifts per
-    byte instead of 4: the unpack is the VPU wall of the int4 decode MoE
-    (per-visit unpack/compute serialization, docs/DESIGN.md), so every op
-    per packed byte counts. Mosaic lowers shifts only on i32 vectors."""
-    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(packed_i32, 28), 28)
+    Offset-lo format (see pack_q4): hi is one arithmetic shift (bit 7 sign
+    fills bits 8..31 under the sign-extended widen); lo is the masked low
+    nibble minus the +8 offset. XLA/dequant path only — the kernels use the
+    v = 16*hi + (lo+8) dot identity in q4_dot_slabs instead of unpacking."""
+    lo = (packed_i32 & 0xF) - 8
     hi = jax.lax.shift_right_arithmetic(packed_i32, 4)
     return lo, hi
 
@@ -127,14 +132,25 @@ def q4_dot_slabs(x, w_slabs, s_slabs, n_slabs: int, dot):
     """Shared unpack-and-accumulate body: x [B, 2*SUB*n_slabs] in compute
     dtype, w_slabs(j) -> [SUB, Out] i8 slab, s_slabs(g) -> [1, Out] f32
     group scale row. Returns the f32 [B, Out] partial sum with group scales
-    folded per slab (identical rounding to dequant-then-dot with per-slab
-    f32 accumulation)."""
+    folded per slab.
+
+    Offset-lo math (pack_q4): sign-extended byte v = 16*hi + (lo+8), so
+        x_lo . lo = x_lo . v - 16*(x_lo . hi) - 8*rowsum(x_lo)
+    Three MXU dots per slab (v, and hi against both x halves) but only 4
+    VPU ops per packed byte (i8->dtype convert of v; widen+shift+convert
+    for hi) versus 6 for a full nibble unpack — measured -7..12% on the
+    unpack-bound b=1 decode kernels (scripts/bench_q4_overlap.py)."""
     acc = None
     for j in range(n_slabs):
-        lo, hi = unpack_q4(w_slabs(j).astype(jnp.int32))
+        w = w_slabs(j)
+        v_c = w.astype(x.dtype)
+        h_c = jax.lax.shift_right_arithmetic(w.astype(jnp.int32), 4).astype(x.dtype)
         o = 2 * j * _SUB
-        t = dot(x[:, o : o + _SUB], lo.astype(x.dtype)) * s_slabs(2 * j)
-        t = t + dot(x[:, o + _SUB : o + 2 * _SUB], hi.astype(x.dtype)) * s_slabs(2 * j + 1)
+        x_lo = x[:, o : o + _SUB]
+        x_hi = x[:, o + _SUB : o + 2 * _SUB]
+        rs = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+        t = (dot(x_lo, v_c) - 16.0 * dot(x_lo, h_c) - 8.0 * rs) * s_slabs(2 * j)
+        t = t + dot(x_hi, h_c) * s_slabs(2 * j + 1)
         acc = t if acc is None else acc + t
     return acc
 

@@ -533,6 +533,18 @@ class ContinuousOCREngine:
             )
             for i, img in enumerate(images)
         ]
+        return self.run_requests(reqs, ngram_size=ngram_size, sampling=sampling)
+
+    def run_requests(
+        self,
+        reqs: List["OCRRequest"],
+        ngram_size: int = 20,
+        sampling: Optional[dict] = None,
+    ) -> List[GenerationResult]:
+        """Batch-serve already-built requests (see prestage()) and return
+        results positionally."""
+        if self._thread is not None:
+            raise RuntimeError("engine is running online; use submit()")
         with self._cv:
             self._pending.extend(reqs)
         self._serve(ngram_size=ngram_size, sampling=sampling, online=False)
@@ -540,6 +552,43 @@ class ContinuousOCREngine:
             if r.error is not None:
                 raise r.error
         return [r.result(timeout=0) for r in reqs]
+
+    def prestage(
+        self,
+        images: Sequence[Union[str, Image.Image]],
+        prompt: Optional[str] = None,
+        max_new_tokens: int = 512,
+        no_crop: bool = False,
+        rotate: int = 0,
+        auto_rotate: bool = False,
+    ) -> List["OCRRequest"]:
+        """Preprocess + device-stage every page BEFORE serving, returning
+        requests for run_requests(). Separates the serving clock from host
+        preprocessing and the host->device pixel ship — the measurement
+        VERDICT r4 #3 asks for (on the tunneled dev TPU the raw-page
+        transfer dominates crop-mode serving; a real PCIe host wouldn't).
+        A preempted page re-preprocesses inside the serve loop, exactly as
+        the normal path would."""
+        reqs = [
+            self._make_request(
+                img, prompt, max_new_tokens, no_crop, rotate, auto_rotate, seq=i
+            )
+            for i, img in enumerate(images)
+        ]
+        last = None
+        for r in reqs:
+            base, patches, ratio, rot = self.pipe.preprocess_image(
+                r.image, no_crop=r.no_crop, rotate=r.rotate,
+                auto_rotate=r.auto_rotate,
+            )
+            base = jax.device_put(base)
+            if patches is not None:
+                patches = jax.device_put(patches)
+            r.pre = (base, patches, ratio, rot)
+            last = base
+        if last is not None:
+            np.asarray(last)[:1]  # transfer barrier: staging ends here
+        return reqs
 
     def start(self, ngram_size: int = 20, sampling: Optional[dict] = None):
         """Online mode: spawn the serve loop; submit() feeds it."""

@@ -122,27 +122,30 @@ def test_quantize_q4_grouped_leading_dims():
         )
 
 
-def test_unpack_q4_requires_sign_extended_widen():
-    """Pin the unpack_q4 input contract (ADVICE r3): the 3-shift unpack
-    assumes a SIGN-EXTENDED i32 widen of the packed bytes. A 0xFF-masked
-    widen (e.g. via a uint8 view) silently corrupts every negative high
-    nibble — assert the exact failure so a future caller can't regress it."""
+def test_pack_q4_offset_lo_identity():
+    """Pin the offset-lo pack contract: a SIGN-EXTENDED byte view v of the
+    packed data satisfies v == 16*hi + (lo+8) exactly — the identity every
+    q4 kernel's dot decomposition (q4_dot_slabs) relies on. Also pin that a
+    0xFF-masked widen corrupts every negative high nibble (off by +16), so
+    a future caller can't regress the sign-extended-widen requirement."""
     from deepseek_ocr2_tpu.ops.linear_q4 import pack_q4, unpack_q4
 
-    # All 512 (lo, hi) nibble pairs on the int4 grid, one packed block.
+    # All 225 (lo, hi) nibble pairs on the int4 grid, one packed block.
     lo_v = np.repeat(np.arange(-7, 8), 15)[:128]
     hi_v = np.tile(np.arange(-7, 8), 15)[:128]
     q = jnp.asarray(np.concatenate([lo_v, hi_v]), jnp.int32)[:, None]  # [256, 1]
     packed = pack_q4(q)  # int8 [128, 1]
 
-    signed = packed.astype(jnp.int32)  # the contract
-    lo, hi = unpack_q4(signed)
+    signed = np.asarray(packed.astype(jnp.int32))  # the contract: sign-extended
+    np.testing.assert_array_equal(signed[:, 0], 16 * hi_v + lo_v + 8)
+
+    lo, hi = unpack_q4(jnp.asarray(signed))
     np.testing.assert_array_equal(np.asarray(lo)[:, 0], lo_v)
     np.testing.assert_array_equal(np.asarray(hi)[:, 0], hi_v)
 
-    masked = signed & 0xFF  # the forbidden widen
+    masked = jnp.asarray(signed) & 0xFF  # the forbidden widen
     lo_m, hi_m = unpack_q4(masked)
-    # Low nibble survives (the shift pair discards bits 8..31)...
+    # Low nibble survives (the mask keeps bits 0..3)...
     np.testing.assert_array_equal(np.asarray(lo_m), np.asarray(lo))
     # ...but every negative high nibble reads wrong (off by +16).
     neg = hi_v < 0
