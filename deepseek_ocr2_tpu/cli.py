@@ -171,6 +171,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the transcript JSON (generated token ids + text + fingerprints) here",
     )
     sp.add_argument(
+        "--tiers",
+        default=None,
+        help="comma-separated quantization tiers to validate in ONE run "
+        "(subset of bf16,int8,int4) — records/compares token ids + step-0 "
+        "top-10 + embedding fingerprints PER TIER, so real-checkpoint "
+        "bring-up gates every serving tier with one command",
+    )
+    sp.add_argument(
         "--fp-rtol",
         type=float,
         default=5e-3,
@@ -657,22 +665,52 @@ def cmd_validate_hf(args) -> int:
     # (reference main.rs:1477-1523, 954-980).
     os.environ.setdefault("DEEPSEEK_DEBUG_OCR", "1")
 
-    pipe, cfg = _load_ocr_pipeline(args)
-    transcript = collect_transcript(
-        pipe,
-        args.image,
-        prompt=args.prompt,
-        max_new_tokens=args.max_new_tokens,
-        no_crop=args.no_crop,
-        rotate=int(args.rotate),
-        auto_rotate=args.auto_rotate,
-        ngram_size=args.no_repeat_ngram_size,
-        eos_token_id=args.eos_token_id,
-    )
+    def _collect(p):
+        return collect_transcript(
+            p,
+            args.image,
+            prompt=args.prompt,
+            max_new_tokens=args.max_new_tokens,
+            no_crop=args.no_crop,
+            rotate=int(args.rotate),
+            auto_rotate=args.auto_rotate,
+            ngram_size=args.no_repeat_ngram_size,
+            eos_token_id=args.eos_token_id,
+        )
+
+    if args.tiers:
+        # One bring-up run gating every serving tier (VERDICT r4 #8): each
+        # tier reloads + requantizes the checkpoint and records its own
+        # token ids / step-0 top-10 / embedding fingerprints.
+        import argparse as _ap
+
+        names = [t.strip() for t in args.tiers.split(",") if t.strip()]
+        bad = [n for n in names if n not in ("bf16", "int8", "int4")]
+        if bad:
+            print(f"unknown tier(s) {bad}; valid: bf16,int8,int4", file=sys.stderr)
+            return 2
+        tiers = {}
+        for name in names:
+            targs = _ap.Namespace(**vars(args))
+            targs.int8 = name == "int8"
+            targs.int4 = name == "int4"
+            targs.moe_int8 = False
+            print(f"--- tier {name} ---", file=sys.stderr)
+            tpipe, _ = _load_ocr_pipeline(targs)
+            t = _collect(tpipe)
+            t["tier"] = name
+            tiers[name] = t
+            del tpipe
+        transcript = {"version": 2, "tiers": tiers}
+        n_tok = {n: len(t["generated_ids"]) for n, t in tiers.items()}
+    else:
+        pipe, cfg = _load_ocr_pipeline(args)
+        transcript = _collect(pipe)
+        n_tok = len(transcript["generated_ids"])
     if args.emit:
         with open(args.emit, "w") as f:
             json.dump(transcript, f, indent=1)
-        print(f"wrote transcript ({len(transcript['generated_ids'])} tokens) to {args.emit}")
+        print(f"wrote transcript ({n_tok} tokens) to {args.emit}")
     if args.expected:
         with open(args.expected) as f:
             want = json.load(f)
@@ -682,12 +720,16 @@ def cmd_validate_hf(args) -> int:
         for line in lines:
             print(line)
         if ok:
-            print(f"PASS: token-exact ({len(transcript['generated_ids'])} tokens)")
+            print(f"PASS: token-exact ({n_tok} tokens)")
             return 0
         print("hint: re-run with DEEPSEEK_DEBUG_TOPK=1 for per-step top-10 logits")
         return 1
     if not args.emit:
-        print(transcript["text"])
+        if args.tiers:
+            for name, t in transcript["tiers"].items():
+                print(f"[{name}] {t['text']}")
+        else:
+            print(transcript["text"])
     return 0
 
 

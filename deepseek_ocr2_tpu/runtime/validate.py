@@ -158,7 +158,38 @@ def compare_transcripts(
     rtol: float = 5e-3,
     atol: float = 1e-4,
 ) -> Tuple[bool, List[str]]:
-    """(ok, report lines). Channels compare in causal order — embeddings,
+    """(ok, report lines). Tiered transcripts ({"tiers": {bf16|int8|int4:
+    transcript}}, from validate-hf --tiers) compare tier-by-tier; a plain
+    transcript on either side stands in for its bf16 tier, so a reference-
+    binary golden log (always unquantized) still validates a tiered run's
+    bf16 tier while the quantized tiers check against their own goldens."""
+    if "tiers" in got or "tiers" in want:
+        gt = got["tiers"] if "tiers" in got else {"bf16": got}
+        wt = want["tiers"] if "tiers" in want else {"bf16": want}
+        ok = True
+        lines: List[str] = []
+        for name, w in wt.items():
+            g = gt.get(name)
+            if g is None:
+                lines.append(f"skip tier {name}: not collected in this run")
+                continue
+            o, ls = _compare_one(g, w, rtol, atol)
+            ok = ok and o
+            lines.extend(f"[{name}] {line}" for line in ls)
+        for name in gt:
+            if name not in wt:
+                lines.append(f"skip tier {name}: no golden recorded")
+        return ok, lines
+    return _compare_one(got, want, rtol, atol)
+
+
+def _compare_one(
+    got: Dict[str, Any],
+    want: Dict[str, Any],
+    rtol: float = 5e-3,
+    atol: float = 1e-4,
+) -> Tuple[bool, List[str]]:
+    """Single-tier compare. Channels compare in causal order — embeddings,
     then step-0 logits, then token ids — so the FIRST failure names the
     earliest diverging stage. Channels absent from `want` are skipped
     (token-only v1 transcripts and partial reference logs still validate)."""

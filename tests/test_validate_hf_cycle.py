@@ -219,3 +219,51 @@ def test_reference_debug_log_parses_to_passing_transcript(assets):
     proc = _validate_hf(assets, "tiny.safetensors", ["--expected", str(parsed)])
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "PASS: token-exact" in proc.stdout, proc.stdout
+
+
+def test_tiered_cycle_quantized_transcripts(assets):
+    """VERDICT r4 #8: one --tiers run records bf16 AND int4 transcripts;
+    the cycle re-validates PASS per tier, a perturbed checkpoint fails in
+    every tier, and a PLAIN (reference-style) golden still validates the
+    tiered run's bf16 tier."""
+    transcript = assets / "transcript_tiers.json"
+    proc = _validate_hf(
+        assets, "tiny.safetensors", ["--tiers", "bf16,int4", "--emit", str(transcript)]
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    recorded = json.load(open(transcript))
+    assert set(recorded["tiers"]) == {"bf16", "int4"}
+    for name, t in recorded["tiers"].items():
+        assert t["tier"] == name
+        assert len(t["generated_ids"]) > 0
+        assert len(t["step0_top10"]["ids"]) == 10
+
+    proc = _validate_hf(
+        assets,
+        "tiny.safetensors",
+        ["--tiers", "bf16,int4", "--expected", str(transcript)],
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "[bf16] tokens: exact" in proc.stdout, proc.stdout
+    assert "[int4] tokens: exact" in proc.stdout, proc.stdout
+
+    proc = _validate_hf(
+        assets,
+        "tiny_bad.safetensors",
+        ["--tiers", "bf16,int4", "--expected", str(transcript)],
+    )
+    assert proc.returncode == 1, proc.stdout
+    assert "[bf16] FAIL" in proc.stdout, proc.stdout
+    assert "[int4] FAIL" in proc.stdout, proc.stdout
+
+    # Plain golden (e.g. parsed from the reference binary's stderr) against
+    # a tiered run: compares as the bf16 tier, skips the quantized tiers.
+    plain = assets / "transcript_plain_for_tiers.json"
+    proc = _validate_hf(assets, "tiny.safetensors", ["--emit", str(plain)])
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    proc = _validate_hf(
+        assets, "tiny.safetensors", ["--tiers", "bf16,int4", "--expected", str(plain)]
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "[bf16] tokens: exact" in proc.stdout, proc.stdout
+    assert "skip tier int4" in proc.stdout, proc.stdout
