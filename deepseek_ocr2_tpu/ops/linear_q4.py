@@ -136,10 +136,16 @@ def q4_dot_slabs(x, w_slabs, s_slabs, n_slabs: int, dot):
 
     Offset-lo math (pack_q4): sign-extended byte v = 16*hi + (lo+8), so
         x_lo . lo = x_lo . v - 16*(x_lo . hi) - 8*rowsum(x_lo)
-    Three MXU dots per slab (v, and hi against both x halves) but only 4
-    VPU ops per packed byte (i8->dtype convert of v; widen+shift+convert
-    for hi) versus 6 for a full nibble unpack — measured -7..12% on the
-    unpack-bound b=1 decode kernels (scripts/bench_q4_overlap.py)."""
+    Only 4 VPU ops per packed byte (i8->dtype convert of v; widen+shift+
+    convert for hi) versus 6 for a full nibble unpack — measured -7..37%
+    on the unpack-bound b=1 decode kernels (scripts/bench_q4_overlap.py,
+    bench_q4_offlo_ab.py). When the row count is sublane-aligned (B % 8)
+    the two hi dots share one stacked [2B, SUB] MXU pass, matching the
+    legacy scheme's 2 passes per slab; at small unaligned B the row split
+    of the stacked result would be Mosaic-illegal, so hi runs as two dots
+    (cheap there: dot cost is operand-load-bound, not row-bound)."""
+    b = x.shape[0]
+    stacked = b % 8 == 0
     acc = None
     for j in range(n_slabs):
         w = w_slabs(j)
@@ -149,8 +155,13 @@ def q4_dot_slabs(x, w_slabs, s_slabs, n_slabs: int, dot):
         x_lo = x[:, o : o + _SUB]
         x_hi = x[:, o + _SUB : o + 2 * _SUB]
         rs = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
-        t = (dot(x_lo, v_c) - 16.0 * dot(x_lo, h_c) - 8.0 * rs) * s_slabs(2 * j)
-        t = t + dot(x_hi, h_c) * s_slabs(2 * j + 1)
+        if stacked:
+            d2 = dot(jnp.concatenate([x_lo, x_hi], axis=0), h_c)
+            d_hlo, d_hhi = d2[:b], d2[b:]
+        else:
+            d_hlo, d_hhi = dot(x_lo, h_c), dot(x_hi, h_c)
+        t = (dot(x_lo, v_c) - 16.0 * d_hlo - 8.0 * rs) * s_slabs(2 * j)
+        t = t + d_hhi * s_slabs(2 * j + 1)
         acc = t if acc is None else acc + t
     return acc
 

@@ -104,6 +104,64 @@ def _visit_schedule(group_sizes: jnp.ndarray, m_pad: int, bm: int):
     return tile_c, expert, lo, hi
 
 
+def _aligned_layout(group_sizes: jnp.ndarray, m_pad: int, bm: int):
+    """Expert-ALIGNED slot layout (r5, VERDICT r4 #5): pad each sorted
+    expert group to a multiple of bm so every bm-row tile holds exactly ONE
+    expert's rows. Versus the boundary-visit schedule this
+    - halves overcompute (avg bm/2 pad rows per expert vs a full bm-row
+      extra tile per group boundary): 1 + E*bm/(2M) vs 1 + E*bm/M;
+    - drops the per-visit row mask AND the output block read-modify-write
+      (each tile is written exactly once, no revisits);
+    - skips tail tiles' GEMMs entirely (pl.when on a valid flag).
+
+    Returns (src_slot [S] i32 gather map sorted->aligned slots,
+    slot_valid [S] bool, slot_of_sorted [m_pad] i32 inverse map,
+    e_tile [T] i32 per-tile expert, tile_valid [T] i32) with
+    S = m_pad + E*bm (static worst case) and T = S//bm."""
+    e = group_sizes.shape[0]
+    s_total = m_pad + e * bm
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes).astype(jnp.int32)]
+    )  # [E+1] sorted-row group starts
+    aligned_sizes = (-(-group_sizes // bm) * bm).astype(jnp.int32)
+    aligned_end = jnp.cumsum(aligned_sizes).astype(jnp.int32)  # [E]
+    aligned_start = aligned_end - aligned_sizes
+    shift = aligned_start - offsets[:-1]  # [E] slot = sorted + shift[e]
+
+    slots = jnp.arange(s_total, dtype=jnp.int32)
+    e_slot = jnp.minimum(
+        jnp.searchsorted(aligned_end, slots, side="right").astype(jnp.int32), e - 1
+    )
+    src_slot = slots - shift[e_slot]
+    slot_valid = (slots < aligned_end[e_slot]) & (
+        src_slot < offsets[e_slot + 1]
+    )
+
+    rows = jnp.arange(m_pad, dtype=jnp.int32)
+    g_row = jnp.minimum(
+        jnp.searchsorted(offsets[1:], rows, side="right").astype(jnp.int32), e - 1
+    )
+    slot_of_sorted = rows + shift[g_row]
+
+    n_tiles = s_total // bm
+    t0 = jnp.arange(n_tiles, dtype=jnp.int32) * bm
+    e_tile = jnp.minimum(
+        jnp.searchsorted(aligned_end, t0, side="right").astype(jnp.int32), e - 1
+    )
+    total = aligned_end[e - 1]
+    tile_valid = (t0 < total).astype(jnp.int32)
+    # Invalid tail tiles point at the last real tile's expert so their
+    # weight-block index never changes (no DMA).
+    e_last = jnp.minimum(
+        jnp.searchsorted(aligned_end, jnp.maximum(total - 1, 0), side="right").astype(
+            jnp.int32
+        ),
+        e - 1,
+    )
+    e_tile = jnp.where(tile_valid == 1, e_tile, e_last)
+    return src_slot, slot_valid, slot_of_sorted, e_tile, tile_valid
+
+
 def _dot(a, b):
     # bf16 dots pin DEFAULT precision (the global "highest" used by CPU
     # parity tests lowers them to multi-pass forms Mosaic rejects); f32 dots
@@ -160,6 +218,83 @@ def _gmm_ffn_kernel(
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     y = _dot(act, d_ref[0, 0]).astype(x.dtype)
     o_ref[:] = jnp.where(in_rows, y, o_ref[:])
+
+
+def _gmm_swiglu_kernel_al(ve_ref, valid_ref, li_ref, x_ref, g_ref, u_ref, o_ref):
+    """Aligned-tile swiglu: one expert per tile — no row mask, no output
+    read-modify-write; invalid tail tiles skip the GEMMs entirely."""
+    del li_ref
+    v = pl.program_id(0)
+
+    @pl.when(valid_ref[v] == 1)
+    def _():
+        x = x_ref[:]
+        gate = _dot(x, g_ref[0, 0]).astype(x.dtype)
+        up = _dot(x, u_ref[0, 0]).astype(x.dtype)
+        o_ref[:] = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+
+
+def _gmm_down_kernel_al(ve_ref, valid_ref, li_ref, a_ref, d_ref, o_ref):
+    v = pl.program_id(0)
+    del li_ref
+
+    @pl.when(valid_ref[v] == 1)
+    def _():
+        a = a_ref[:]
+        o_ref[:] = _dot(a, d_ref[0, 0]).astype(a.dtype)
+
+
+def _gmm_ffn_kernel_al(ve_ref, valid_ref, li_ref, x_ref, g_ref, u_ref, d_ref, o_ref):
+    """Aligned-tile fused FFN (swiglu + down in one visit); same rounding
+    points as the split pair."""
+    del li_ref
+    v = pl.program_id(0)
+
+    @pl.when(valid_ref[v] == 1)
+    def _():
+        x = x_ref[:]
+        gate = _dot(x, g_ref[0, 0]).astype(x.dtype)
+        up = _dot(x, u_ref[0, 0]).astype(x.dtype)
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        o_ref[:] = _dot(act, d_ref[0, 0]).astype(x.dtype)
+
+
+def _gmm_aligned_call(
+    kernel, e_tile, tile_valid, x, ws, out_dim, *, bm, layer_idx=0, interpret=False
+):
+    """Shared pallas_call for the aligned-tile kernels. `ws` is the list of
+    expert weight stacks; each streams its (li, e_tile[v]) block per tile."""
+    s_total, in_dim = x.shape
+    n_tiles = s_total // bm
+    stacked = [_as_stacked(w, layer_idx) for w in ws]
+    li = stacked[0][1]
+
+    def wspec(w4):
+        return pl.BlockSpec(
+            (1, 1, w4.shape[2], w4.shape[3]),
+            lambda v, ve, valid, li: (li[0], ve[v], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, in_dim), lambda v, ve, valid, li: (v, 0), memory_space=pltpu.VMEM
+            ),
+            *[wspec(w4) for w4, _ in stacked],
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, out_dim), lambda v, ve, valid, li: (v, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s_total, out_dim), x.dtype),
+        interpret=interpret,
+    )(e_tile, tile_valid, li, x, *[w4 for w4, _ in stacked])
 
 
 def _gmm_ffn_call(
@@ -620,28 +755,40 @@ def _moe_ffn_gmm_impl(
     flat_idx = idx.reshape(m)
     order = jnp.argsort(flat_idx, stable=True)
     token_of = order // k
-    x_sorted = jnp.take(x_flat, token_of, axis=0)  # [M, H] (cheap row gather)
-    if m_pad != m:
-        x_sorted = jnp.pad(x_sorted, ((0, m_pad - m), (0, 0)))
     group_sizes = jnp.bincount(flat_idx, length=e).astype(jnp.int32)
 
-    schedule = _visit_schedule(group_sizes, m_pad, bm)
-    if _gmm_fused_enabled():
-        y_sorted = _gmm_ffn_call(
-            schedule, x_sorted, experts["gate"], experts["up"], experts["down"],
-            bm=bm, layer_idx=layer_idx, interpret=interpret,
-        )[:m]  # [M, H]
-    else:
-        act = _gmm_swiglu_call(
-            schedule, x_sorted, experts["gate"], experts["up"],
-            bm=bm, layer_idx=layer_idx, interpret=interpret,
-        )  # [M_pad, I]
-        y_sorted = _gmm_call(
-            _gmm_down_kernel, schedule, act, experts["down"], h,
-            bm=bm, layer_idx=layer_idx, interpret=interpret,
-        )[:m]  # [M, H]
+    # Expert-aligned slot layout (see _aligned_layout): the sort gather and
+    # the aligned scatter compose into ONE row gather straight from x_flat.
+    src_slot, slot_valid, slot_of_sorted, e_tile, tile_valid = _aligned_layout(
+        group_sizes, m_pad, bm
+    )
+    token_pad = jnp.concatenate(
+        [token_of, jnp.zeros((m_pad - m,), jnp.int32)]
+    ) if m_pad != m else token_of
+    token_of_slot = jnp.take(token_pad, jnp.clip(src_slot, 0, m_pad - 1))
+    x_al = jnp.where(
+        slot_valid[:, None], jnp.take(x_flat, token_of_slot, axis=0), 0
+    ).astype(x_flat.dtype)
 
+    if _gmm_fused_enabled():
+        y_al = _gmm_aligned_call(
+            _gmm_ffn_kernel_al, e_tile, tile_valid, x_al,
+            [experts["gate"], experts["up"], experts["down"]], h,
+            bm=bm, layer_idx=layer_idx, interpret=interpret,
+        )
+    else:
+        act = _gmm_aligned_call(
+            _gmm_swiglu_kernel_al, e_tile, tile_valid, x_al,
+            [experts["gate"], experts["up"]], experts["gate"].shape[-1],
+            bm=bm, layer_idx=layer_idx, interpret=interpret,
+        )
+        y_al = _gmm_aligned_call(
+            _gmm_down_kernel_al, e_tile, tile_valid, act, [experts["down"]], h,
+            bm=bm, layer_idx=layer_idx, interpret=interpret,
+        )
+
+    # Unsort: row j's selection i lives at slot slot_of_sorted[inv[j*k+i]].
     inv = jnp.argsort(order, stable=True)
-    y = jnp.take(y_sorted, inv, axis=0).reshape(n, k, h)
+    y = jnp.take(y_al, jnp.take(slot_of_sorted, inv), axis=0).reshape(n, k, h)
     out = jnp.sum(y.astype(jnp.float32) * weights[:, :, None], axis=1)
     return out.astype(x_flat.dtype)
