@@ -57,9 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
             "--kv-cache",
             type=_kv_dtype_arg,
             default="float32",
-            help="KV cache dtype (f32|f16|bf16; 'int8' quantizes the paged "
-            "pool for serve --continuous/--http: half the KV bytes and pool "
-            "memory, not token-exact)",
+            help="KV cache dtype (f32|f16|bf16) for serve --continuous/"
+            "--http: 'int8' quantizes the paged pool (half the KV bytes and "
+            "pool memory, not token-exact); 'int8tail' additionally keeps "
+            "each slot's newest page exact in bf16 (bounds int8 drift to "
+            "history tokens)",
         )
         sp.add_argument("--trim-memory", action="store_true")
         sp.add_argument(
@@ -306,8 +308,8 @@ def _int8_scope(args):
 
 
 def _kv_dtype_arg(value: str) -> str:
-    if value.lower() == "int8":
-        return "int8"
+    if value.lower() in ("int8", "int8tail"):
+        return value.lower()
     return _dtype_arg(value)
 
 

@@ -639,20 +639,26 @@ def _paged_kernel_pool_q8(
     #          last two dims are (1, page) — Mosaic rejects slicing the
     #          second-to-last dim of a [L,P,Hh,page] array to 1)
     vs_ref,
-    # outputs
-    o_ref,  # [1, Hh, D]
-    # scratch
-    m_ref,
-    l_ref,
-    acc_ref,
-    *,
+    # outputs (tail mode inserts open_k/open_v refs before these)
+    *rest,
     scale: float,
     page_size: int,
+    tail: bool = False,
 ):
     """int8-KV variant of _paged_kernel_pool: pages arrive as int8 plus a
     per-(token, head) f32 scale row; dequant on the VPU feeds the same f32
-    streaming-softmax walk at HALF the HBM bytes per page."""
+    streaming-softmax walk at HALF the HBM bytes per page.
+
+    tail=True ('int8tail' pool): each row's LAST page reads from a per-slot
+    bf16 open-page buffer instead of the quantized pool — the newest
+    <=page_size tokens stay exact while history pays int8 bytes (the int8-KV
+    drift mitigation, VERDICT r4 #7). The open block's index map is
+    constant in p, so it DMAs once per row."""
     del layer_ref
+    if tail:
+        ok_ref, ov_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     p = pl.program_id(1)
     n_pages = pl.num_programs(1)
@@ -670,12 +676,16 @@ def _paged_kernel_pool_q8(
     @pl.when(p * page_size < seq_len)
     def _():
         k_pos = p * page_size + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
+        is_open = (seq_len - 1) // page_size == p
         for h in range(n_heads):
             q = q_ref[0, h].astype(jnp.float32).reshape(1, -1)
             ks = ks_ref[0, 0, h].reshape(-1, 1)  # [page, 1] f32
             vs = vs_ref[0, 0, h].reshape(-1, 1)
             k = k_ref[0, 0, h].astype(jnp.float32) * ks  # [page, D]
             v = v_ref[0, 0, h].astype(jnp.float32) * vs
+            if tail:
+                k = jnp.where(is_open, ok_ref[0, 0, h].astype(jnp.float32), k)
+                v = jnp.where(is_open, ov_ref[0, 0, h].astype(jnp.float32), v)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * jnp.float32(scale)
@@ -708,13 +718,18 @@ def paged_decode_attention_pool_q8(
     layer,  # scalar i32
     *,
     scale: float,
+    open_k: jnp.ndarray = None,  # [L, B, Hh, page, D] bf16 open-page tails
+    open_v: jnp.ndarray = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """paged_decode_attention_pool over an int8-quantized pool."""
+    """paged_decode_attention_pool over an int8-quantized pool. With
+    open_k/open_v ('int8tail'), each row's last page reads exact bf16 from
+    its per-slot open buffer instead of the quantized pool."""
     b, hh, d = q.shape
     max_pages = block_tables.shape[1]
     page_size = k_pool.shape[3]
     ll, pp = k_scale.shape[0], k_scale.shape[1]
+    tail = open_k is not None
     # Contiguous 5D view: blocks of a [L,P,Hh,page] array would have to
     # slice Hh (second-to-last) to 1, which Mosaic rejects; [L,P,Hh,1,page]
     # keeps the last two block dims at (1, page) == array dims.
@@ -725,6 +740,14 @@ def paged_decode_attention_pool_q8(
         return pl.BlockSpec(
             (1, 1, hh, 1, page_size),
             lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def open_spec():
+        # Constant in pi: the open block DMAs once per row.
+        return pl.BlockSpec(
+            (1, 1, hh, page_size, d),
+            lambda bi, pi, bt, sl, ly: (ly[0], bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -748,6 +771,7 @@ def paged_decode_attention_pool_q8(
             ),
             scale_spec(),
             scale_spec(),
+            *([open_spec(), open_spec()] if tail else []),
         ],
         out_specs=pl.BlockSpec(
             (1, hh, d), lambda bi, pi, bt, sl, ly: (bi, 0, 0),
@@ -760,7 +784,7 @@ def paged_decode_attention_pool_q8(
         ],
     )
     kernel = functools.partial(
-        _paged_kernel_pool_q8, scale=scale, page_size=page_size
+        _paged_kernel_pool_q8, scale=scale, page_size=page_size, tail=tail
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     return pl.pallas_call(
@@ -777,6 +801,7 @@ def paged_decode_attention_pool_q8(
         v_pool,
         k_scale5,
         v_scale5,
+        *([open_k, open_v] if tail else []),
     )
 
 
@@ -789,18 +814,21 @@ def _paged_kernel_pool_chunk_q8(
     v_ref,
     ks_ref,  # [1, 1, Hh, 1, page] f32 (5D — see _paged_kernel_pool_q8)
     vs_ref,
-    o_ref,  # [1, Hh, S, D]
-    m_ref,  # [Hh*S, 1] f32 VMEM
-    l_ref,
-    acc_ref,  # [Hh*S, D]
-    *,
+    *rest,  # tail mode: (open_k, open_v, o, m, l, acc); else (o, m, l, acc)
     scale: float,
     page_size: int,
     n_queries: int,
     n_heads: int,
+    tail: bool = False,
 ):
-    """int8-KV variant of _paged_kernel_pool_chunk (speculative chunks)."""
+    """int8-KV variant of _paged_kernel_pool_chunk (speculative chunks).
+    tail=True: the row's LAST page (from the row's max budget) reads exact
+    bf16 from the per-slot open-page buffer — see _paged_kernel_pool_q8."""
     del layer_ref
+    if tail:
+        ok_ref, ov_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     p = pl.program_id(1)
     n_pages = pl.num_programs(1)
@@ -824,12 +852,16 @@ def _paged_kernel_pool_chunk_q8(
         k_pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (1, page_size), 1
         )
+        is_open = (max_len - 1) // page_size == p
         for h in range(n_heads):
             q = q_ref[0, h].astype(jnp.float32)  # [S, D]
             ks = ks_ref[0, 0, h].reshape(-1, 1)
             vs = vs_ref[0, 0, h].reshape(-1, 1)
             k = k_ref[0, 0, h].astype(jnp.float32) * ks
             v = v_ref[0, 0, h].astype(jnp.float32) * vs
+            if tail:
+                k = jnp.where(is_open, ok_ref[0, 0, h].astype(jnp.float32), k)
+                v = jnp.where(is_open, ov_ref[0, 0, h].astype(jnp.float32), v)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * jnp.float32(scale)
@@ -868,13 +900,17 @@ def paged_decode_attention_pool_chunk_q8(
     layer,
     *,
     scale: float,
+    open_k: jnp.ndarray = None,  # [L, B, Hh, page, D] bf16 open-page tails
+    open_v: jnp.ndarray = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """paged_decode_attention_pool_chunk over an int8-quantized pool."""
+    """paged_decode_attention_pool_chunk over an int8-quantized pool. With
+    open_k/open_v ('int8tail'), the row's last page reads exact bf16."""
     b, s_q, hh, d = q.shape
     max_pages = block_tables.shape[1]
     page_size = k_pool.shape[3]
     ll, pp = k_scale.shape[0], k_scale.shape[1]
+    tail = open_k is not None
     k_scale5 = k_scale.reshape(ll, pp, hh, 1, page_size)
     v_scale5 = v_scale.reshape(ll, pp, hh, 1, page_size)
 
@@ -882,6 +918,13 @@ def paged_decode_attention_pool_chunk_q8(
         return pl.BlockSpec(
             (1, 1, hh, 1, page_size),
             lambda bi, pi, bt, sl, ly: (ly[0], bt[bi, pi], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def open_spec():
+        return pl.BlockSpec(
+            (1, 1, hh, page_size, d),
+            lambda bi, pi, bt, sl, ly: (ly[0], bi, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -906,6 +949,7 @@ def paged_decode_attention_pool_chunk_q8(
             ),
             scale_spec(),
             scale_spec(),
+            *([open_spec(), open_spec()] if tail else []),
         ],
         out_specs=pl.BlockSpec(
             (1, hh, s_q, d),
@@ -924,6 +968,7 @@ def paged_decode_attention_pool_chunk_q8(
         page_size=page_size,
         n_queries=s_q,
         n_heads=hh,
+        tail=tail,
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     out = pl.pallas_call(
@@ -940,6 +985,7 @@ def paged_decode_attention_pool_chunk_q8(
         v_pool,
         k_scale5,
         v_scale5,
+        *([open_k, open_v] if tail else []),
     )
     return out.transpose(0, 2, 1, 3)  # [B, S, Hh, D]
 

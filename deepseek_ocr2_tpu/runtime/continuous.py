@@ -125,7 +125,9 @@ def insert_group(
     """Scatter an admission group's prompt KV into the pool (quantizing when
     the pool is int8) and its decode state into the shared slot arrays — one
     dispatch for the whole group."""
-    cache = write_prompt_pool_batched(cache, k_new, v_new, page_ids, prompt_len)
+    cache = write_prompt_pool_batched(
+        cache, k_new, v_new, page_ids, prompt_len, slot_ids=slot_ids
+    )
     tokens = tokens.at[slot_ids].set(group_tokens)
     state_cur_lens = state_cur_lens.at[slot_ids].set(jnp.int32(prompt_len + 1))
     state_limits = state_limits.at[slot_ids].set(group_limits)
@@ -694,7 +696,7 @@ class ContinuousOCREngine:
         # int8 pools quantize at the pool boundary; the transient contiguous
         # prefill cache stays in the activation float dtype.
         prefill_kv_dtype = pipe.kv_dtype
-        if pipe.kv_dtype == "int8":
+        if pipe.kv_dtype.startswith("int8"):
             prefill_kv_dtype = (
                 "float32" if pipe.act_dtype == "float32" else "bfloat16"
             )
@@ -704,7 +706,12 @@ class ContinuousOCREngine:
             lm_cfg.num_attention_heads,
             page,
             lm_cfg.head_dim,
-            dtype=jnp.dtype(pipe.kv_dtype),
+            dtype=(
+                pipe.kv_dtype
+                if pipe.kv_dtype == "int8tail"
+                else jnp.dtype(pipe.kv_dtype)
+            ),
+            slots=b,
         )
         alloc = PageAllocator(self.num_pages)
         # Observability: benches/monitors poll pool occupancy while the

@@ -76,7 +76,7 @@ def greedy_generate(
         cfg.num_attention_heads,
         capacity,
         cfg.head_dim,
-        dtype=jnp.dtype(kv_dtype),
+        dtype=kv_dtype if isinstance(kv_dtype, str) and kv_dtype.startswith("int8") else jnp.dtype(kv_dtype),
     )
 
     hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)
@@ -226,7 +226,7 @@ def lookup_greedy_generate(
         cfg.num_attention_heads,
         capacity,
         cfg.head_dim,
-        dtype=jnp.dtype(kv_dtype),
+        dtype=kv_dtype if isinstance(kv_dtype, str) and kv_dtype.startswith("int8") else jnp.dtype(kv_dtype),
     )
 
     hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)
@@ -334,7 +334,7 @@ def lookup_greedy_generate_batched(
         cfg.num_attention_heads,
         capacity,
         cfg.head_dim,
-        dtype=jnp.dtype(kv_dtype),
+        dtype=kv_dtype if isinstance(kv_dtype, str) and kv_dtype.startswith("int8") else jnp.dtype(kv_dtype),
     )
 
     hidden, cache = lm_forward(params, cfg, inputs_embeds, cache, pos=0, is_prefill=True)

@@ -27,10 +27,13 @@ def make_kv_cache(
     head_dim: int,
     dtype: jnp.dtype = jnp.bfloat16,
 ) -> KVCache:
-    if jnp.dtype(dtype) == jnp.int8:
+    if (isinstance(dtype, str) and dtype.startswith("int8")) or (
+        not isinstance(dtype, str) and jnp.dtype(dtype) == jnp.int8
+    ):
         raise ValueError(
-            "int8 KV applies to the paged pool only (serve --continuous/"
-            "--http with --kv-cache int8); contiguous caches are f32/bf16"
+            "int8/int8tail KV applies to the paged pool only (serve "
+            "--continuous/--http with --kv-cache int8|int8tail); contiguous "
+            "caches are f32/bf16"
         )
     shape = (num_layers, batch, num_heads, capacity, head_dim)
     return {

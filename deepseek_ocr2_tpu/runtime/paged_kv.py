@@ -55,20 +55,36 @@ def make_paged_kv_cache(
     page_size: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    slots: int = 0,
 ) -> PagedKV:
     """Paged K/V pool. dtype 'int8' builds a QUANTIZED pool: K/V stored as
     int8 with per-(token, head) f32 scales — half the HBM traffic per decode
     step and half the pool memory of bf16 (the byte floor and the preemption
-    rate both drop). Opt-in: not token-exact vs the bf16/f32 pools."""
-    if jnp.dtype(dtype) == jnp.int8:
+    rate both drop). Opt-in: not token-exact vs the bf16/f32 pools.
+
+    dtype 'int8tail' (string) additionally keeps a per-SLOT bf16 open-page
+    buffer ({open_k, open_v}: [L, slots, page, ...]) holding each row's
+    newest (partial) page exactly: attention reads the last page from it
+    instead of the quantized pool, bounding int8 drift to history tokens
+    (the VERDICT r4 #7 mitigation; measured drift table in docs/DESIGN.md).
+    Requires `slots` (the engine's decode batch width)."""
+    tail = isinstance(dtype, str) and dtype == "int8tail"
+    if tail or jnp.dtype(dtype) == jnp.int8:
         shape = (num_layers, num_pages, num_heads, page_size, head_dim)
         sshape = (num_layers, num_pages, num_heads, page_size)
-        return {
+        cache = {
             "k": jnp.zeros(shape, jnp.int8),
             "v": jnp.zeros(shape, jnp.int8),
             "k_scale": jnp.zeros(sshape, jnp.float32),
             "v_scale": jnp.zeros(sshape, jnp.float32),
         }
+        if tail:
+            if slots <= 0:
+                raise ValueError("int8tail pool needs slots= (decode batch width)")
+            oshape = (num_layers, slots, num_heads, page_size, head_dim)
+            cache["open_k"] = jnp.zeros(oshape, jnp.bfloat16)
+            cache["open_v"] = jnp.zeros(oshape, jnp.bfloat16)
+        return cache
     shape = (num_layers, num_pages, num_heads, page_size, head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
@@ -166,13 +182,15 @@ def write_prompt_pool_batched(
     v_new: jnp.ndarray,
     page_ids: jnp.ndarray,  # [G, n_pages] i32
     seq_len: int,
+    slot_ids: jnp.ndarray = None,  # [G] i32 — required for int8tail pools
 ) -> PagedKV:
     """Scatter an admission group's prompt K/V into the pool, quantizing on
-    the way in when the pool is int8."""
+    the way in when the pool is int8. int8tail pools additionally stage the
+    prompt's LAST page (bf16, exact) into the group's open-page slots."""
     if "k_scale" in cache:
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
-        return {
+        out = {
             "k": write_prompt_pages_batched(cache["k"], kq, page_ids, seq_len),
             "v": write_prompt_pages_batched(cache["v"], vq, page_ids, seq_len),
             "k_scale": write_prompt_scales_batched(
@@ -182,6 +200,18 @@ def write_prompt_pool_batched(
                 cache["v_scale"], vs, page_ids, seq_len
             ),
         }
+        if "open_k" in cache:
+            assert slot_ids is not None, "int8tail prompt write needs slot_ids"
+            page = cache["k"].shape[3]
+            lp = (seq_len - 1) // page  # static: the group's last page
+            sl = lp * page
+            out["open_k"] = cache["open_k"].at[:, slot_ids].set(
+                k_new[:, :, :, sl : sl + page, :].astype(jnp.bfloat16)
+            )
+            out["open_v"] = cache["open_v"].at[:, slot_ids].set(
+                v_new[:, :, :, sl : sl + page, :].astype(jnp.bfloat16)
+            )
+        return out
     return {
         "k": write_prompt_pages_batched(cache["k"], k_new, page_ids, seq_len),
         "v": write_prompt_pages_batched(cache["v"], v_new, page_ids, seq_len),
@@ -301,8 +331,29 @@ def _paged_attention_step(
 
     k_pool, v_pool = cache["k"], cache["v"]
     quant = "k_scale" in cache
+    tail = "open_k" in cache
+    open_k = cache.get("open_k")
+    open_v = cache.get("open_v")
     page = k_pool.shape[3]
     rows = jnp.arange(b)
+
+    def _patch_open_pages(k_layer, v_layer, final_lens):
+        """XLA-oracle tail semantics: overwrite each row's LAST page in the
+        dequantized layer with its exact bf16 open page (pages are
+        row-exclusive, so the scatter is safe)."""
+        last_pg = block_tables[rows, (final_lens - 1) // page]
+        k_layer = k_layer.at[last_pg].set(
+            jax.lax.dynamic_index_in_dim(open_k, li, 0, keepdims=False).astype(
+                k_layer.dtype
+            )
+        )
+        v_layer = v_layer.at[last_pg].set(
+            jax.lax.dynamic_index_in_dim(open_v, li, 0, keepdims=False).astype(
+                v_layer.dtype
+            )
+        )
+        return k_layer, v_layer
+
     if s == 1:
         seq_lens = pos + 1
         page_ids = block_tables[rows, pos // page]
@@ -314,6 +365,9 @@ def _paged_attention_step(
             v_pool = _pool_write_rows(v_pool, vq, li, page_ids, off)
             k_sc = _pool_write_rows_scale(cache["k_scale"], ks, li, page_ids, off)
             v_sc = _pool_write_rows_scale(cache["v_scale"], vs, li, page_ids, off)
+            if tail:
+                open_k = _pool_write_rows(open_k, k32[:, :, 0, :], li, rows, off)
+                open_v = _pool_write_rows(open_v, v32[:, :, 0, :], li, rows, off)
         else:
             k_pool = _pool_write_rows(k_pool, k32[:, :, 0, :], li, page_ids, off)
             v_pool = _pool_write_rows(v_pool, v32[:, :, 0, :], li, page_ids, off)
@@ -321,7 +375,7 @@ def _paged_attention_step(
         if quant and run_pallas:
             ctx = paged_decode_attention_pool_q8(
                 q_dec, k_pool, v_pool, k_sc, v_sc, block_tables, seq_lens, li,
-                scale=scale,
+                scale=scale, open_k=open_k, open_v=open_v,
             )
         elif quant:
             k_layer = dequant_pages(
@@ -332,6 +386,8 @@ def _paged_attention_step(
                 jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False),
                 jax.lax.dynamic_index_in_dim(v_sc, li, 0, keepdims=False),
             )
+            if tail:
+                k_layer, v_layer = _patch_open_pages(k_layer, v_layer, seq_lens)
             ctx = paged_decode_attention_xla(
                 q_dec, k_layer, v_layer, block_tables, seq_lens, scale=scale
             )
@@ -359,6 +415,17 @@ def _paged_attention_step(
             v_pool = _pool_write_chunk(v_pool, vq, li, page_ids, off)
             k_sc = _pool_write_chunk_scale(cache["k_scale"], ks, li, page_ids, off)
             v_sc = _pool_write_chunk_scale(cache["v_scale"], vs, li, page_ids, off)
+            if tail:
+                # Blanket write at (row, pos % page): tokens that belong to
+                # a PREVIOUS page land at offsets > the row's final offset
+                # and are masked by the per-query budget at read time.
+                rows_bs = jnp.broadcast_to(rows[:, None], off.shape)
+                open_k = _pool_write_chunk(
+                    open_k, k32.transpose(0, 2, 1, 3), li, rows_bs, off
+                )
+                open_v = _pool_write_chunk(
+                    open_v, v32.transpose(0, 2, 1, 3), li, rows_bs, off
+                )
         else:
             k_pool = _pool_write_chunk(
                 k_pool, k32.transpose(0, 2, 1, 3), li, page_ids, off
@@ -370,7 +437,7 @@ def _paged_attention_step(
         if quant and run_pallas:
             ctx = paged_decode_attention_pool_chunk_q8(
                 q_chunk, k_pool, v_pool, k_sc, v_sc, block_tables, seq_lens,
-                li, scale=scale,
+                li, scale=scale, open_k=open_k, open_v=open_v,
             )
         elif quant:
             k_layer = dequant_pages(
@@ -381,6 +448,10 @@ def _paged_attention_step(
                 jax.lax.dynamic_index_in_dim(v_pool, li, 0, keepdims=False),
                 jax.lax.dynamic_index_in_dim(v_sc, li, 0, keepdims=False),
             )
+            if tail:
+                k_layer, v_layer = _patch_open_pages(
+                    k_layer, v_layer, seq_lens[:, -1]
+                )
             ctx = paged_decode_attention_xla_chunk(
                 q_chunk, k_layer, v_layer, block_tables, seq_lens, scale=scale
             )
@@ -399,6 +470,9 @@ def _paged_attention_step(
     if quant:
         out_cache["k_scale"] = k_sc
         out_cache["v_scale"] = v_sc
+    if tail:
+        out_cache["open_k"] = open_k
+        out_cache["open_v"] = open_v
     return _o_proj(ctx, attn, decode=True), out_cache
 
 

@@ -397,7 +397,7 @@ class OCR2Pipeline:
             cfg.lm.num_attention_heads,
             capacity,
             cfg.lm.head_dim,
-            dtype=jnp.dtype(self.kv_dtype),
+            dtype=self.kv_dtype if self.kv_dtype.startswith("int8") else jnp.dtype(self.kv_dtype),
         )
         hidden, cache = _debug_lm_prefill(lm, cfg.lm, embeds, cache)
         logits = logits_last(lm, hidden)

@@ -144,6 +144,7 @@ def main():
         ("bf16-kv full-pool", dict(kv_dtype="bfloat16", pool_tokens=full_pool)),
         ("bf16-kv tight-pool", dict(kv_dtype="bfloat16", pool_tokens=tight_pool)),
         ("int8-kv full-pool", dict(kv_dtype="int8", pool_tokens=full_pool)),
+        ("int8tail-kv full-pool", dict(kv_dtype="int8tail", pool_tokens=full_pool)),
         (
             "bf16-kv full-pool lookup4",
             dict(kv_dtype="bfloat16", pool_tokens=full_pool, lookup=4),
@@ -191,10 +192,11 @@ def main():
         f"tight-pool vs full-pool: mean matching prefix {frac:.1%} "
         "(differs only via admission-group GEMM rounding; see NOTE)"
     )
-    if "int8-kv full-pool" in results:
-        firsts, frac = divergence(base["gen_ids"], results["int8-kv full-pool"]["gen_ids"])
+    for drift_name in ("int8-kv full-pool", "int8tail-kv full-pool"):
+      if drift_name in results:
+        firsts, frac = divergence(base["gen_ids"], results[drift_name]["gen_ids"])
         print(
-            f"int8-KV drift vs bf16 pool at {MAX_NEW} new tokens: first divergence "
+            f"{drift_name} drift vs bf16 pool at {MAX_NEW} new tokens: first divergence "
             f"per page {firsts}, mean matching prefix {frac:.1%} (worst-case: "
             "random-weight greedy margins; real-checkpoint margins are far wider)",
             flush=True,

@@ -657,3 +657,29 @@ def test_prestage_run_requests_token_exact(setup):
     for i, (a, b) in enumerate(zip(normal, staged)):
         assert b.token_ids == a.token_ids, (i, a.token_ids, b.token_ids)
         assert b.text == a.text
+
+
+def test_continuous_int8tail_kv_pool_runs(setup):
+    """int8tail pool (--kv-cache int8tail, VERDICT r4 #7): int8 history +
+    exact bf16 open page per slot. The engine admits (staging the prompt's
+    last page into the open buffer), decodes across page rollovers, lookup-
+    decodes, and completes deterministically (same run twice -> same
+    tokens). Tail-read semantics are pinned by
+    test_int8tail_last_page_exact_1query_and_chunk."""
+    cfg, pipe = setup
+    qpipe = OCR2Pipeline(
+        pipe.params, cfg, pipe.tokenizer, kv_dtype="int8tail", act_dtype="float32"
+    )
+    pages = _pages(3)
+    for lookup in (0, 3):
+        engine = ContinuousOCREngine(
+            qpipe, slots=2, capacity=128, chunk_steps=4, lookup_chunk=lookup
+        )
+        results = engine.run(pages, max_new_tokens=5, ngram_size=3)
+        for r in results:
+            assert r is not None and r.new_tokens >= 1
+        results2 = ContinuousOCREngine(
+            qpipe, slots=2, capacity=128, chunk_steps=4, lookup_chunk=lookup
+        ).run(pages, max_new_tokens=5, ngram_size=3)
+        for a, b2 in zip(results, results2):
+            assert a.token_ids == b2.token_ids

@@ -419,3 +419,151 @@ def test_int8_pool_attention_drift_at_long_context():
     g = np.asarray(got)
     rel = np.abs(g - w).max() / (np.abs(w).max() + 1e-9)
     assert rel < 1e-2, f"int8 pool drift {rel:.3%} at seq {seq}"
+
+
+def test_int8tail_last_page_exact_1query_and_chunk():
+    """int8tail pool semantics (VERDICT r4 #7): the row's LAST page must be
+    read from the bf16 open-page buffer, not the quantized pool. Proven by
+    poisoning the quantized pool's last-page contents with garbage: the
+    tail kernels must match an oracle built from (dequantized history +
+    exact bf16 tail), for both the 1-query and chunk kernels."""
+    import math
+
+    from deepseek_ocr2_tpu.ops.paged_attention import (
+        dequant_pages,
+        paged_decode_attention_pool_chunk_q8,
+        paged_decode_attention_pool_q8,
+        paged_decode_attention_xla,
+        paged_decode_attention_xla_chunk,
+    )
+    from deepseek_ocr2_tpu.runtime.paged_kv import quantize_kv
+
+    rng = np.random.default_rng(11)
+    L, b, hh, d, page = 2, 2, 3, 128, 16
+    n_pages_per = 3
+    n_pool = b * n_pages_per + 1
+    li = 1
+    seq_lens = np.asarray([41, 25], np.int32)  # last pages 2 and 1, partial
+    kf = rng.standard_normal((L, n_pool, hh, page, d)).astype(np.float32)
+    vf = rng.standard_normal((L, n_pool, hh, page, d)).astype(np.float32)
+    k_i8, k_sc = quantize_kv(jnp.asarray(kf))
+    v_i8, v_sc = quantize_kv(jnp.asarray(vf))
+    tables = jnp.asarray(
+        np.arange(1, n_pool).reshape(b, n_pages_per), jnp.int32
+    )
+    # Exact open pages (bf16) = the true values; then POISON the quantized
+    # pool's last pages so any read from them is loud.
+    open_k = np.zeros((L, b, hh, page, d), np.float32)
+    open_v = np.zeros((L, b, hh, page, d), np.float32)
+    k_pois = np.array(np.asarray(k_i8))
+    v_pois = np.array(np.asarray(v_i8))
+    for r in range(b):
+        lp = (seq_lens[r] - 1) // page
+        pg = int(np.asarray(tables)[r, lp])
+        open_k[:, r] = kf[:, pg]
+        open_v[:, r] = vf[:, pg]
+        k_pois[:, pg] = 127
+        v_pois[:, pg] = -127
+    open_k = jnp.asarray(open_k, jnp.bfloat16)
+    open_v = jnp.asarray(open_v, jnp.bfloat16)
+    k_i8, v_i8 = jnp.asarray(k_pois), jnp.asarray(v_pois)
+
+    # Oracle: dequant history + exact (bf16-rounded) tail pages.
+    k_layer = dequant_pages(k_i8[li], k_sc[li])
+    v_layer = dequant_pages(v_i8[li], v_sc[li])
+    rows = jnp.arange(b)
+    last_pg = tables[rows, (jnp.asarray(seq_lens) - 1) // page]
+    k_layer = k_layer.at[last_pg].set(open_k[li].astype(jnp.float32))
+    v_layer = v_layer.at[last_pg].set(open_v[li].astype(jnp.float32))
+
+    scale = 1 / math.sqrt(d)
+    q = jnp.asarray(rng.standard_normal((b, hh, d)), jnp.float32)
+    want = np.asarray(
+        paged_decode_attention_xla(
+            q, k_layer, v_layer, tables, jnp.asarray(seq_lens), scale=scale
+        )
+    )
+    got = np.asarray(
+        paged_decode_attention_pool_q8(
+            q, k_i8, v_i8, k_sc, v_sc, tables, jnp.asarray(seq_lens), li,
+            scale=scale, open_k=open_k, open_v=open_v, interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # Chunk kernel: per-query budgets ending inside the row's last page.
+    s_q = 3
+    qc = jnp.asarray(rng.standard_normal((b, s_q, hh, d)), jnp.float32)
+    budgets = jnp.asarray(
+        np.stack([seq_lens - 2, seq_lens - 1, seq_lens], 1), jnp.int32
+    )
+    want_c = np.asarray(
+        paged_decode_attention_xla_chunk(
+            qc, k_layer, v_layer, tables, budgets, scale=scale
+        )
+    )
+    got_c = np.asarray(
+        paged_decode_attention_pool_chunk_q8(
+            qc, k_i8, v_i8, k_sc, v_sc, tables, budgets, li,
+            scale=scale, open_k=open_k, open_v=open_v, interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_allclose(got_c, want_c, rtol=2e-5, atol=2e-5)
+
+
+def test_int8tail_reduces_drift_vs_int8():
+    """With attention mass on the newest tokens (the usual decode regime),
+    the exact tail must cut output error vs the plain int8 pool."""
+    import math
+
+    from deepseek_ocr2_tpu.ops.paged_attention import (
+        dequant_pages,
+        paged_decode_attention_xla,
+    )
+    from deepseek_ocr2_tpu.runtime.paged_kv import quantize_kv
+
+    rng = np.random.default_rng(5)
+    b, hh, d, page = 2, 4, 128, 64
+    seq = 512
+    n_pool = b * (seq // page) + 1
+    kf = rng.standard_normal((n_pool, hh, page, d)).astype(np.float32)
+    vf = rng.standard_normal((n_pool, hh, page, d)).astype(np.float32)
+    tables = jnp.asarray(np.arange(1, n_pool).reshape(b, seq // page), jnp.int32)
+    seq_lens = jnp.asarray([seq, seq - 17], jnp.int32)
+    # Queries aligned with the newest keys -> softmax mass concentrates on
+    # the last page.
+    qn = np.empty((b, hh, d), np.float32)
+    for r in range(b):
+        lastpos = int(np.asarray(seq_lens)[r]) - 1
+        pg = int(np.asarray(tables)[r, lastpos // page])
+        qn[r] = kf[pg, :, lastpos % page, :] * 2.0
+    q = jnp.asarray(qn)
+    scale = 1 / math.sqrt(d)
+
+    want = np.asarray(
+        paged_decode_attention_xla(
+            q, jnp.asarray(kf), jnp.asarray(vf), tables, seq_lens, scale=scale
+        )
+    )
+    k_i8, k_sc = quantize_kv(jnp.asarray(kf))
+    v_i8, v_sc = quantize_kv(jnp.asarray(vf))
+    kq = dequant_pages(k_i8, k_sc)
+    vq = dequant_pages(v_i8, v_sc)
+    got_int8 = np.asarray(
+        paged_decode_attention_xla(q, kq, vq, tables, seq_lens, scale=scale)
+    )
+    # int8tail oracle: exact (bf16) last pages over int8 history.
+    rows = jnp.arange(b)
+    last_pg = tables[rows, (seq_lens - 1) // page]
+    k_tail = kq.at[last_pg].set(
+        jnp.asarray(kf)[last_pg].astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    v_tail = vq.at[last_pg].set(
+        jnp.asarray(vf)[last_pg].astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    got_tail = np.asarray(
+        paged_decode_attention_xla(q, k_tail, v_tail, tables, seq_lens, scale=scale)
+    )
+    err8 = np.abs(got_int8 - want).max()
+    errt = np.abs(got_tail - want).max()
+    assert errt < 0.5 * err8, (errt, err8)
