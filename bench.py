@@ -150,14 +150,20 @@ def _measure_serve_long(params, cfg: OCR2Config) -> float:
     )
     tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
     rng = np.random.default_rng(9)
+    # 16 concurrent pages (BASELINE config #4 allows 8-16; #5 doesn't bound
+    # concurrency): the decode step is dominated by the routed-expert weight
+    # stream, which grows sublinearly with batch (48 selections cover most
+    # of the 64 experts at b=8 already), so wider batching is the principal
+    # aggregate-throughput lever (r5: moe layer 516 us at b=8 vs 549 at
+    # b=16 -- ~2x tokens for +6% step time).
     pages = [
         Image.fromarray(rng.integers(0, 256, (960, 1280, 3), np.uint8))
-        for _ in range(8)
+        for _ in range(16)
     ]
     max_new = 1024
     pipe = OCR2Pipeline(params, cfg_l, tok, kv_dtype="bfloat16")
     engine = ContinuousOCREngine(
-        pipe, slots=8, capacity=bucket_capacity(262 + max_new), chunk_steps=64
+        pipe, slots=16, capacity=bucket_capacity(262 + max_new), chunk_steps=64
     )
 
     def run():

@@ -33,9 +33,12 @@ run q4_kernels 1800 python scripts/bench_q4_kernels.py
 run q4_decode 1800 python scripts/bench_q4_decode.py
 run tests_kernels 2400 python -m pytest tests/test_flash_attention.py tests/test_vision_parity.py tests/test_lookup_decode.py -x -q
 run tests_paged_chunk 1500 python -m pytest tests/test_paged_attention.py tests/test_continuous.py::test_continuous_lookup_token_exact -x -q
+run tests_int8tail 1500 python -m pytest "tests/test_paged_attention.py::test_int8tail_last_page_exact_1query_and_chunk" "tests/test_continuous.py::test_continuous_int8tail_kv_pool_runs" -x -q
 run decode_pieces 1800 python scripts/bench_decode_chunk_pieces.py
 run serve_long 3000 python scripts/bench_serve_long.py
-run q4_bound 1800 python scripts/bench_q4_bound.py
+run moe_b8 1800 python scripts/bench_moe_b8_dispatch.py
+run q4_offlo_ab 1800 python scripts/bench_q4_offlo_ab.py
 run gmm_fused 1800 python scripts/bench_gmm_bm.py
+run sam_glue 1800 python scripts/bench_sam_phases.py
 run bench 3600 python bench.py
 echo "ALL DONE $(date -u)" >> $log/status.txt
