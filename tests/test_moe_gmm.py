@@ -122,10 +122,8 @@ def test_gmm_custom_vjp_matches_ragged_grads():
     router = jnp.asarray(rng.standard_normal((h, e)).astype(np.float32) * 0.1)
     weights, idx = route(x, router, k)
 
-    from deepseek_ocr2_tpu.ops.moe_gmm import _moe_ffn_gmm_diff
-
     def loss_gmm(x, ex, w):
-        return jnp.sum(_moe_ffn_gmm_diff(x, ex, w, idx) ** 2)
+        return jnp.sum(moe_ffn_gmm(x, ex, w, idx) ** 2)
 
     def loss_ragged(x, ex, w):
         return jnp.sum(moe_ffn_ragged(x, ex, w, idx) ** 2)
