@@ -344,13 +344,15 @@ def _gmm_ffn_call(
 
 
 def _gmm_fused_enabled() -> bool:
-    """DEEPSEEK_GMM_FUSED=1 runs the prefill grouped FFN as ONE fused
-    swiglu+down kernel per layer (bit-identical; saves the [M, I] act
-    HBM round-trip + one launch). Off by default until the VMEM fit and
-    the win are validated on hardware (r4)."""
+    """Fused swiglu+down prefill FFN (one kernel per layer, bit-identical;
+    saves the [M, I] act HBM round-trip + one launch). DEFAULT ON since r5:
+    at M=13.2k/bm=64 (crop-prefill scale) the fused aligned kernel measured
+    1.672 ms vs 2.915 split (bench_gmm_bm, 2026-08-21; r4's two jittery
+    sessions also mostly favored fused). DEEPSEEK_GMM_FUSED=0 restores the
+    split pair."""
     import os
 
-    return os.environ.get("DEEPSEEK_GMM_FUSED", "0") == "1"
+    return os.environ.get("DEEPSEEK_GMM_FUSED", "1") == "1"
 
 
 def _gmm_down_kernel(vt_ref, ve_ref, lo_ref, hi_ref, li_ref, a_ref, d_ref, o_ref, *, bm):
